@@ -1,0 +1,164 @@
+"""Host-side packing of a BWT (or any {A,C,G,T,TERM} string) into the TPU rank layout.
+
+TPU-first re-design of the reference's cache-aligned block layout
+(reference: internal/dna_string.hpp:19-41, 320-369, 554-585):
+
+* block = 128 characters = one 64-byte row of 16 uint32 words:
+    - words  0.. 3 : bitplane 0 (LSB of the 3-bit code), LSB-first within each word
+    - words  4.. 7 : bitplane 1
+    - words  8..11 : bitplane 2 (the TERM flag plane)
+    - words 12..15 : ABSOLUTE cumulative counts of A,C,G,T *before* the block.
+* One batched rank query = one 64-byte row gather + VPU popcounts — the TPU
+  equivalent of the reference's "1 cache miss per parallel_rank"
+  (reference: internal/dna_string.hpp:13-17, 140-152).
+
+Differences from the reference layout (intentional, TPU-first):
+* bit order within a block is LSB-first per 32-bit word (VPU lanes are 32-bit),
+  not MSB-first per 128-bit plane (reference: dna_string.hpp:125-127);
+* block counters are absolute 32-bit counts, so there is no superblock level.
+  A single shard is therefore limited to 2^31-1 characters; larger inputs are
+  position-sharded across devices/hosts (see parallel/), which is also how the
+  reference's own pipeline scales (reference: pebwt2InDel.sh:49-83).
+
+Space: 64 B / 128 chars = 4 bits/char, matching the reference
+(dna_string.hpp:21), plus a separate (n_blocks,4) copy of the counters used for
+the hierarchical select descent (reference uses binary search over rank instead,
+dna_string.hpp:254-272).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils import dna
+
+BLOCK = 128  # characters per block
+WPB = 4  # 32-bit words per plane per block
+
+
+@dataclass
+class PackedBwt:
+    """Host (numpy) packed representation. Device mirror is models.fm_index.FMIndex."""
+
+    blocks: np.ndarray  # (n_blocks, 16) uint32
+    block_counts: np.ndarray  # (n_blocks, 4) int32 — copy of words 12..15
+    F: np.ndarray  # (4,) int64: [F_A, F_C, F_G, F_T] as in dna_bwt.hpp:47-61
+    counts: np.ndarray  # (5,) int64 total counts of A,C,G,T,TERM
+    n: int
+    term: int = dna.DEFAULT_TERM
+
+
+def pack_codes(codes: np.ndarray, term: int = dna.DEFAULT_TERM) -> PackedBwt:
+    """Pack an array of 3-bit codes (A=0..T=3, TERM=4) into block rows."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = int(codes.shape[0])
+    if n >= 2**31:
+        raise ValueError(
+            "single-shard input exceeds 2^31 characters; use the sharded loader"
+        )
+    # one extra block guarantees rank(n) addresses a valid row, mirroring the
+    # reference's (n+1)-based block count (dna_string.hpp:61-62)
+    n_blocks = n // BLOCK + 1
+    padded = np.zeros(n_blocks * BLOCK, dtype=np.uint8)
+    padded[:n] = codes
+
+    bits = padded.reshape(n_blocks, WPB, 32)
+    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, None, :]
+    planes = np.empty((n_blocks, 3 * WPB), dtype=np.uint32)
+    for p in range(3):
+        plane_bits = ((bits >> p) & 1).astype(np.uint32)
+        planes[:, p * WPB : (p + 1) * WPB] = (plane_bits * weights).sum(
+            axis=2, dtype=np.uint32
+        )
+
+    # absolute counts of each base before each block
+    per_block = np.empty((n_blocks, 4), dtype=np.int64)
+    blk = padded.reshape(n_blocks, BLOCK)
+    for c in range(4):
+        per_block[:, c] = (blk == c).sum(axis=1)
+    # the padding is code 0 ('A'); remove its contribution from the final block
+    pad_len = n_blocks * BLOCK - n
+    per_block[-1, 0] -= pad_len
+    cum = np.zeros((n_blocks, 4), dtype=np.int64)
+    np.cumsum(per_block[:-1], axis=0, out=cum[1:])
+
+    blocks = np.empty((n_blocks, 16), dtype=np.uint32)
+    blocks[:, :12] = planes
+    blocks[:, 12:16] = cum.astype(np.uint32)
+
+    totals = np.zeros(5, dtype=np.int64)
+    totals[:4] = cum[-1] + per_block[-1]
+    totals[4] = n - totals[:4].sum()
+
+    # F column with TERM lexicographically smallest (dna_bwt.hpp:47-61):
+    # F_A = #TERM, F_C = F_A + #A, F_G = F_C + #C, F_T = F_G + #G
+    F = np.empty(4, dtype=np.int64)
+    F[0] = totals[4]
+    F[1] = F[0] + totals[0]
+    F[2] = F[1] + totals[1]
+    F[3] = F[2] + totals[2]
+
+    return PackedBwt(
+        blocks=blocks,
+        block_counts=cum.astype(np.int32),
+        F=F,
+        counts=totals,
+        n=n,
+        term=term,
+    )
+
+
+def read_ebwt_codes(path: str, term: int = dna.DEFAULT_TERM) -> np.ndarray:
+    """Read an ASCII eBWT file and convert to codes, validating the alphabet
+    (reference: internal/dna_string.hpp:76-105)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    tbl = dna.code_table(term)
+    codes = tbl[raw]
+    bad = codes == 255
+    if bad.any():
+        ch = int(raw[bad.argmax()])
+        raise ValueError(
+            f"Error while reading file: read forbidden character "
+            f"'{chr(ch)}' (ASCII code {ch}). Only A,C,G,T, and {chr(term)} are "
+            f"admitted in the input BWT! If the unknown character is the "
+            f'terminator, you can solve the problem by adding option "-t {ch}".'
+        )
+    return codes
+
+
+def pack_file(path: str, term: int = dna.DEFAULT_TERM) -> PackedBwt:
+    try:
+        from . import native  # optional C++ fast path
+
+        return native.pack_file(path, term)
+    except Exception:
+        return pack_codes(read_ebwt_codes(path, term), term)
+
+
+def pack_bitvector(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a 0/1 array into (n_blocks,4) uint32 words + (n_blocks,) int32
+    absolute cumulative popcounts — the rank-1 structure for the document array
+    (reference mode 3 stores DA as vector<bool>, ebwt2InDel.cpp:1495-1508; we
+    rank it with the same block machinery)."""
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    n = int(bits.shape[0])
+    n_blocks = n // BLOCK + 1
+    padded = np.zeros(n_blocks * BLOCK, dtype=np.uint8)
+    padded[:n] = bits
+    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, None, :]
+    words = (padded.reshape(n_blocks, WPB, 32).astype(np.uint32) * weights).sum(
+        axis=2, dtype=np.uint32
+    )
+    per_block = padded.reshape(n_blocks, BLOCK).sum(axis=1, dtype=np.int64)
+    cum = np.zeros(n_blocks, dtype=np.int64)
+    np.cumsum(per_block[:-1], out=cum[1:])
+    return words, cum.astype(np.int32)
+
+
+def read_da_file(path: str, n: int) -> np.ndarray:
+    """Read an ASCII '0'/'1' document-array file
+    (reference: ebwt2InDel.cpp:1495-1508 — one byte per BWT position)."""
+    raw = np.fromfile(path, dtype=np.uint8, count=n)
+    return (raw == ord("1")).astype(np.uint8)

@@ -1,0 +1,99 @@
+"""Property tests of the rank backend against numpy oracles — the test-form of
+the reference's debug self-checks check_rank / check_content
+(dna_string.hpp:464-549)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ebwt2indel_tpu.ops import packing, rank
+from tests import oracle
+
+
+def random_codes(rng, n, p_term=0.05):
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    term_mask = rng.random(n) < p_term
+    codes[term_mask] = 4
+    return codes
+
+
+@pytest.mark.parametrize("n", [1, 5, 127, 128, 129, 1000, 4096, 10000])
+def test_parallel_rank_matches_oracle(rng, n):
+    codes = random_codes(rng, n)
+    pb = packing.pack_codes(codes)
+    blocks = jnp.asarray(pb.blocks)
+    qs = np.unique(
+        np.concatenate(
+            [rng.integers(0, n + 1, size=min(200, n + 1)), [0, n, n // 2]]
+        )
+    ).astype(np.int32)
+    got = np.asarray(rank.parallel_rank(blocks, jnp.asarray(qs)))
+    for q, row in zip(qs, got):
+        np.testing.assert_array_equal(row, oracle.rank_oracle(codes, int(q)),
+                                      err_msg=f"rank at {q}")
+
+
+def test_access_and_rank_non_dna(rng):
+    n = 3000
+    codes = random_codes(rng, n)
+    pb = packing.pack_codes(codes)
+    blocks = jnp.asarray(pb.blocks)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    got = np.asarray(rank.access(blocks, idx))
+    np.testing.assert_array_equal(got, codes)
+    q = np.array([0, 1, n // 3, n], dtype=np.int32)
+    got_nd = np.asarray(rank.rank_non_dna(blocks, jnp.asarray(q)))
+    for qq, g in zip(q, got_nd):
+        assert g == (codes[:qq] == 4).sum()
+
+
+def test_rank_char_includes_term(rng):
+    n = 2000
+    codes = random_codes(rng, n, p_term=0.2)
+    pb = packing.pack_codes(codes)
+    blocks = jnp.asarray(pb.blocks)
+    i = jnp.asarray(np.full(5, n // 2, dtype=np.int32))
+    c = jnp.asarray(np.arange(5, dtype=np.int32))
+    got = np.asarray(rank.rank_char(blocks, i, c))
+    for cc in range(5):
+        assert got[cc] == (codes[: n // 2] == cc).sum()
+
+
+@pytest.mark.parametrize("n", [130, 1000, 8192])
+def test_select_matches_oracle(rng, n):
+    codes = random_codes(rng, n)
+    pb = packing.pack_codes(codes)
+    blocks = jnp.asarray(pb.blocks)
+    bcounts = jnp.asarray(pb.block_counts)
+    rs, cs, expect = [], [], []
+    for c in range(4):
+        total = int((codes == c).sum())
+        if total == 0:
+            continue
+        picks = np.unique(rng.integers(0, total, size=min(50, total)))
+        for r in picks:
+            rs.append(r)
+            cs.append(c)
+            expect.append(oracle.select_oracle(codes, int(r), c))
+    got = np.asarray(
+        rank.select(
+            blocks, bcounts, jnp.asarray(rs, dtype=jnp.int32),
+            jnp.asarray(cs, dtype=jnp.int32)
+        )
+    )
+    np.testing.assert_array_equal(got, np.asarray(expect))
+
+
+def test_bitvector_rank(rng):
+    n = 5000
+    bits = (rng.random(n) < 0.3).astype(np.uint8)
+    words, counts = packing.pack_bitvector(bits)
+    w = jnp.asarray(words)
+    cnt = jnp.asarray(counts)
+    qs = np.unique(np.concatenate([rng.integers(0, n + 1, 100), [0, n]]))
+    got = np.asarray(rank.bv_rank1(w, cnt, jnp.asarray(qs, dtype=jnp.int32)))
+    for q, g in zip(qs, got):
+        assert g == bits[:q].sum(), q
+    gotbits = np.asarray(rank.bv_get(w, jnp.arange(n, dtype=jnp.int32)))
+    np.testing.assert_array_equal(gotbits, bits)
