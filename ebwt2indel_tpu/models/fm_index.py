@@ -1,0 +1,174 @@
+"""FM-index over the packed rank backend — batched LF / F / FL / node extension.
+
+TPU re-design of the reference's dna_bwt<dna_string> façade
+(reference: internal/dna_bwt.hpp:24-420). Every operation is batched over
+arrays of positions / ranges / suffix-tree nodes, so thousands of backward
+steps or Weiner-link extensions advance per device dispatch.
+
+Suffix-tree node representation (reference: include.hpp:394-413): an int32
+array [..., 7] holding (first_TERM, first_A, first_C, first_G, first_T, last,
+depth). A leaf is an int32 array [..., 3]: (first, second, depth)
+(reference: include.hpp:513-527).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import packing, rank
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blocks", "block_counts", "F"],
+    meta_fields=["n", "term"],
+)
+@dataclasses.dataclass(frozen=True)
+class FMIndex:
+    """Device mirror of ops.packing.PackedBwt.
+
+    F holds the 4 cumulative boundaries (F_A, F_C, F_G, F_T) with TERM
+    lexicographically smallest (dna_bwt.hpp:47-61): F_A = #TERM,
+    F_C = F_A + #A, F_G = F_C + #C, F_T = F_G + #G.
+    """
+
+    blocks: jax.Array  # (n_blocks, 16) uint32
+    block_counts: jax.Array  # (n_blocks, 4) int32
+    F: jax.Array  # (4,) int32
+    n: int
+    term: int
+
+    @staticmethod
+    def from_packed(pb: packing.PackedBwt) -> "FMIndex":
+        return FMIndex(
+            blocks=jnp.asarray(pb.blocks),
+            block_counts=jnp.asarray(pb.block_counts),
+            F=jnp.asarray(pb.F.astype(np.int32)),
+            n=pb.n,
+            term=pb.term,
+        )
+
+    @staticmethod
+    def from_file(path: str, term: int = ord("#")) -> "FMIndex":
+        return FMIndex.from_packed(packing.pack_file(path, term))
+
+    # host-side constants -------------------------------------------------
+    def root(self) -> np.ndarray:
+        """Root suffix-tree node (dna_bwt.hpp:296-308)."""
+        F = np.asarray(self.F)
+        return np.array([0, F[0], F[1], F[2], F[3], self.n, 0], dtype=np.int32)
+
+    def first_leaf(self) -> np.ndarray:
+        """Leaf of the empty string: range of all terminator-first suffixes
+        (dna_bwt.hpp:313-317)."""
+        F = np.asarray(self.F)
+        return np.array([0, F[0], 0], dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# batched FM operations
+# ---------------------------------------------------------------------------
+
+
+def parallel_rank(fm: FMIndex, i):
+    return rank.parallel_rank(fm.blocks, i)
+
+
+def access(fm: FMIndex, i):
+    return rank.access(fm.blocks, i)
+
+
+def f_char(fm: FMIndex, i):
+    """Character code of the F column at position i (dna_bwt.hpp:100-110):
+    TERM(4) below F_A, else A..T by boundary comparison."""
+    r = jnp.searchsorted(fm.F, i, side="right").astype(jnp.int32)
+    return jnp.where(r == 0, jnp.int32(4), r - 1)
+
+
+def lf(fm: FMIndex, i):
+    """LF for a single position; undefined on terminators
+    (dna_bwt.hpp:77-97 asserts c != TERM)."""
+    c = access(fm, i)
+    cc = jnp.clip(c, 0, 3)
+    r = jnp.take_along_axis(
+        parallel_rank(fm, i), cc[..., None], axis=-1
+    )[..., 0]
+    return fm.F[cc] + r
+
+
+def fl(fm: FMIndex, i):
+    """FL (psi): F position -> L position of the same character occurrence
+    (dna_bwt.hpp:115-133). Caller must guarantee F(i) != TERM."""
+    c = f_char(fm, i)
+    cc = jnp.clip(c, 0, 3)
+    # the region of character c starts at F[c] (F[0] == F_A == #TERM)
+    r = i - fm.F[cc]
+    return rank.select(fm.blocks, fm.block_counts, r, cc)
+
+
+def lf_range(fm: FMIndex, first, second):
+    """Left-extend a right-exclusive range by all 4 nucleotides at once
+    (dna_bwt.hpp:138-166). Returns (lo[..., 4], hi[..., 4])."""
+    lo = fm.F + parallel_rank(fm, first)
+    hi = fm.F + parallel_rank(fm, second)
+    return lo, hi
+
+
+def lf_range_char(fm: FMIndex, first, second, c):
+    """Left-extend a range by one character (dna_bwt.hpp:168-192)."""
+    cc = jnp.clip(c, 0, 3)[..., None]
+    s = jnp.take_along_axis(parallel_rank(fm, first), cc, axis=-1)[..., 0]
+    e = jnp.take_along_axis(parallel_rank(fm, second), cc, axis=-1)[..., 0]
+    base = fm.F[cc[..., 0]]
+    return base + s, base + e
+
+
+def extend_node(fm: FMIndex, nodes):
+    """Weiner-link extension of suffix-tree nodes by all 4 nucleotides
+    (dna_bwt.hpp:323-356). nodes: int32 [..., 7] -> int32 [..., 4, 7]."""
+    coords = nodes[..., :6]  # [..., 6]
+    ranks = parallel_rank(fm, coords)  # [..., 6, 4]
+    # out coords for char c at coord j: F[c] + ranks[..., j, c]
+    ext = fm.F[:, None] + jnp.swapaxes(ranks, -1, -2)  # [..., 4, 6]
+    depth = nodes[..., 6:7] + 1  # [..., 1]
+    depth4 = jnp.broadcast_to(depth[..., None, :], ext.shape[:-1] + (1,))
+    return jnp.concatenate([ext, depth4], axis=-1)
+
+
+def node_num_children(nodes):
+    """Number of non-empty children of each node (include.hpp:760-768)."""
+    c = nodes[..., :6]
+    return jnp.sum((c[..., 1:] > c[..., :-1]).astype(jnp.int32), axis=-1)
+
+
+def node_size(nodes):
+    return nodes[..., 5] - nodes[..., 0]
+
+
+def merge_nodes(a, b):
+    """Coordinate-wise sum of two same-depth nodes — the implicit merged-BWT
+    node (include.hpp:476-490). Depth taken from a."""
+    merged = a[..., :6] + b[..., :6]
+    return jnp.concatenate([merged, a[..., 6:7]], axis=-1)
+
+
+def find(fm: FMIndex, pattern: str) -> tuple[int, int]:
+    """Backward search of an ASCII pattern (dna_bwt.hpp:195-203).
+
+    Host convenience API; not used by the calling pipeline (the reference's
+    find() is likewise unused by the main tool)."""
+    from ..utils import dna
+
+    codes = dna.str_to_codes(pattern, fm.term)
+    first = jnp.asarray([0], dtype=jnp.int32)
+    second = jnp.asarray([fm.n], dtype=jnp.int32)
+    for c in codes[::-1]:
+        first, second = lf_range_char(
+            fm, first, second, jnp.asarray([int(c)], dtype=jnp.int32)
+        )
+    return int(first[0]), int(second[0])

@@ -1,0 +1,108 @@
+"""Traversal oracle tests: the wavefront traversal must reproduce the exact
+LCP_threshold / LCP_minima / DA semantics of the reference's DFS, validated
+against brute-force SA/LCP on small random read sets (the resurrected oracle
+of ebwt2InDel.cpp:1348-1366)."""
+
+import numpy as np
+import pytest
+
+from ebwt2indel_tpu.models import fm_index, traverse
+from ebwt2indel_tpu.ops import packing
+from ebwt2indel_tpu.utils import dna
+from tests import oracle
+
+
+def build_fm(reads):
+    bwt = oracle.ebwt_from_reads(reads)
+    codes = dna.str_to_codes(bwt)
+    fm = fm_index.FMIndex.from_packed(packing.pack_codes(codes))
+    return fm, codes
+
+
+def minima_expected(lcp, n):
+    """What the reference actually marks (ebwt2InDel.cpp:357-391) — a subset
+    of true LCP minima: only at borders first_C/first_G/first_T of some node,
+    with a preceding non-TERM child of size >= 2 and border < last-1.
+    For the purpose of this test we check against the mathematical minima
+    property only where the tool marks them: every marked position must be a
+    real LCP minimum (LCP[i-1] > LCP[i] and LCP[i+1] >= LCP[i])."""
+    return oracle.lcp_minima_oracle(lcp)
+
+
+@pytest.mark.parametrize("seed,n_reads,length", [
+    (1, 8, 20), (2, 20, 15), (3, 40, 30), (4, 5, 50),
+])
+def test_navigate_one_bwt_lcp_threshold(seed, n_reads, length):
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), size=200))
+    reads = oracle.random_reads(rng, n_reads, length, mutate_from=genome)
+    fm, codes = build_fm(reads)
+    lcp, _, _ = oracle.sa_of_bwt(codes)
+
+    K, k_right = 5, 8
+    res = traverse.navigate_one_bwt(fm, K, k_right)
+    thr_K = np.asarray(res.thr_K)
+    thr_R = np.asarray(res.thr_R)
+    minima = np.asarray(res.minima)
+
+    exp_K, exp_R = oracle.lcp_threshold_oracle(lcp, K, k_right)
+    # position 0 is never written by the traversal (LCP[0] undefined);
+    # the reference leaves LCP_threshold[0]=0 too (vector init, cpp:571)
+    exp_K[0] = exp_R[0] = 0
+    np.testing.assert_array_equal(thr_K, exp_K)
+    np.testing.assert_array_equal(thr_R, exp_R)
+
+    # every marked minimum must be a true LCP minimum
+    true_min = minima_expected(lcp, fm.n)
+    assert np.all(true_min[minima == 1] == 1)
+
+
+def test_navigate_two_bwts_matches_merged(rng):
+    genome = "".join(rng.choice(list("ACGT"), size=150))
+    reads1 = oracle.random_reads(rng, 12, 25, mutate_from=genome)
+    reads2 = oracle.random_reads(rng, 10, 25, mutate_from=genome)
+    fm1, codes1 = build_fm(reads1)
+    fm2, codes2 = build_fm(reads2)
+
+    K, k_right = 4, 6
+    res = traverse.navigate_two_bwts(fm1, fm2, K, k_right)
+
+    # oracle: merged collection = all suffixes of both collections sorted;
+    # DA[i] = which collection the i-th smallest suffix comes from, with
+    # collection-1 suffixes preceding collection-2 suffixes on ties
+    # (update_DA semantics, ebwt2InDel.cpp:394-449)
+    _, _, suf1 = oracle.sa_of_bwt(codes1)
+    _, _, suf2 = oracle.sa_of_bwt(codes2)
+    tagged = [(s, 0, i) for i, s in enumerate(suf1)] + [
+        (s, 1, i) for i, s in enumerate(suf2)
+    ]
+
+    def skey(item):
+        s = item[0]
+        # '#' smallest; ties between equal strings: collection 0 first
+        return ([{"#": 0, "A": 1, "C": 2, "G": 3, "T": 4}[ch] for ch in s],
+                item[1])
+
+    tagged.sort(key=skey)
+    da_exp = np.array([t[1] for t in tagged], dtype=np.uint8)
+    np.testing.assert_array_equal(np.asarray(res.da), da_exp)
+
+    # merged LCP
+    n = fm1.n + fm2.n
+    lcp = np.zeros(n, dtype=np.int64)
+    for i in range(1, n):
+        a, b = tagged[i - 1][0], tagged[i][0]
+        k = 0
+        while k < min(len(a), len(b)) and a[k] == b[k] and a[k] != "#":
+            k += 1
+        lcp[i] = k
+    exp_K, exp_R = oracle.lcp_threshold_oracle(lcp, K, k_right)
+    exp_K[0] = exp_R[0] = 0
+    np.testing.assert_array_equal(np.asarray(res.thr_K), exp_K)
+    np.testing.assert_array_equal(np.asarray(res.thr_R), exp_R)
+
+    true_min = oracle.lcp_minima_oracle(lcp)
+    got_min = np.asarray(res.minima)
+    assert np.all(true_min[got_min == 1] == 1)
+
+    assert res.stats["da_values"] == n
