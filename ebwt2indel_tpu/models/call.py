@@ -1,0 +1,144 @@
+"""Batched per-cluster variant analysis: base counts, consensus left-context
+extraction, and right-context extraction.
+
+Device reformulation of the reference's per-cluster routines
+(find_variants ×3, ebwt2InDel.cpp:840-1096; extract_consensus, 243-319;
+extract_dna, 325-342): all clusters (and all 4 candidate characters) advance
+their backward/forward walks in lockstep — fixed trip counts k_left / k_right
+with masked early exit, so the whole calling phase is a handful of jitted
+dispatches regardless of cluster count.
+
+Parity quirks preserved:
+* base counts use base_to_int, which maps TERM to 'A' (include.hpp:275-289's
+  default case), so terminators inside a cluster inflate the A count;
+* consensus tie-breaks prefer A<C<G<T on equal counts (the reference's
+  4-element std::sort is an insertion sort, hence stable; cpp:252-255) —
+  argmax picks the first maximum, matching;
+* a left context shorter than k_left is discarded (cpp:317);
+* support = number of occurrences of the starting character in the cluster
+  range (cpp:310), excluding TERM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fm_index as fm_ops
+from .fm_index import FMIndex
+
+
+@partial(jax.jit, static_argnames=())
+def range_counts(fm: FMIndex, begins, ends):
+    """Counts of A,C,G,T in BWT[begin:end) with the TERM->A quirk.
+
+    Also returns the pure (quirk-free) ACGT counts used as supports.
+    """
+    pr_b = fm_ops.parallel_rank(fm, begins)
+    pr_e = fm_ops.parallel_rank(fm, ends)
+    pure = pr_e - pr_b  # (B, 4)
+    n_term = (ends - begins) - pure.sum(axis=-1)
+    quirk = pure.at[..., 0].add(n_term)
+    return quirk, pure
+
+
+@partial(jax.jit, static_argnames=("k_left",))
+def extract_consensus_batch(fm: FMIndex, begins, ends, *, k_left: int):
+    """For every cluster and every c in {A,C,G,T}: the consensus left context
+    of length k_left ending with c, its support, and a validity flag.
+
+    Returns (ctx (B,4,k_left) int8 codes, support (B,4) int32,
+    full (B,4) bool — context reached full length).
+    Mirrors extract_consensus (ebwt2InDel.cpp:243-319).
+    """
+    B = begins.shape[0]
+    # start: R = LF(range, c) for each c — one parallel rank pair
+    lo4, hi4 = fm_ops.lf_range(fm, begins, ends)  # (B,4)
+    support = hi4 - lo4
+
+    ctx = jnp.zeros((B, 4, k_left), dtype=jnp.int8)
+    ctx = ctx.at[:, :, 0].set(jnp.arange(4, dtype=jnp.int8)[None, :])
+    alive = support > 0  # empty start range -> consensus stops after char 0
+    length = jnp.ones((B, 4), dtype=jnp.int32)  # start char always present
+
+    lo = lo4.reshape(B * 4)
+    hi = hi4.reshape(B * 4)
+    alive = alive.reshape(B * 4)
+    length = length.reshape(B * 4)
+    ctx = ctx.reshape(B * 4, k_left)
+
+    def body(step, state):
+        lo, hi, alive, length, ctx = state
+        l4, h4 = fm_ops.lf_range(fm, lo, hi)
+        cnt = h4 - l4  # (B4, 4)
+        best = jnp.argmax(cnt, axis=-1)  # first max -> A<C<G<T tie-break
+        bc = jnp.take_along_axis(cnt, best[:, None], axis=-1)[:, 0]
+        step_alive = alive & (bc > 0)
+        nlo = jnp.take_along_axis(l4, best[:, None], axis=-1)[:, 0]
+        nhi = jnp.take_along_axis(h4, best[:, None], axis=-1)[:, 0]
+        lo = jnp.where(step_alive, nlo, lo)
+        hi = jnp.where(step_alive, nhi, hi)
+        ctx = ctx.at[jnp.arange(ctx.shape[0]), step].set(
+            jnp.where(step_alive, best.astype(jnp.int8), ctx[:, step])
+        )
+        length = jnp.where(step_alive, length + 1, length)
+        return lo, hi, step_alive, length, ctx
+
+    lo, hi, alive, length, ctx = jax.lax.fori_loop(
+        1, k_left, body, (lo, hi, alive, length, ctx)
+    )
+    # context was built variant-first; reverse to genomic order
+    ctx = ctx[:, ::-1]
+    full = length == k_left
+    return (ctx.reshape(B, 4, k_left), support,
+            full.reshape(B, 4))
+
+
+@partial(jax.jit, static_argnames=("k_right",))
+def extract_dna_batch(fm: FMIndex, starts, active, *, k_right: int):
+    """Forward extraction of up to k_right characters starting at F position
+    ``starts``; stops at TERM (extract_dna, ebwt2InDel.cpp:325-342).
+
+    Returns (seq (B, k_right) int8 codes, length (B,) int32).
+    """
+    B = starts.shape[0]
+    seq = jnp.zeros((B, k_right), dtype=jnp.int8)
+    length = jnp.zeros(B, dtype=jnp.int32)
+
+    def body(step, state):
+        i, alive, length, seq = state
+        c = fm_ops.f_char(fm, i)
+        step_alive = alive & (c != 4)
+        seq = seq.at[:, step].set(
+            jnp.where(step_alive, c.astype(jnp.int8), seq[:, step])
+        )
+        length = jnp.where(step_alive, length + 1, length)
+        nxt = fm_ops.fl(fm, jnp.where(step_alive, i, 0))
+        i = jnp.where(step_alive, nxt, i)
+        return i, step_alive, length, seq
+
+    _, _, length, seq = jax.lax.fori_loop(
+        0, k_right, body, (starts, active, length, seq)
+    )
+    return seq, length
+
+
+def first_thr_position(thr_R: np.ndarray, begins: np.ndarray,
+                       ends: np.ndarray):
+    """For each cluster the first position i in [begin, end) with
+    LCP_threshold[2i+1] set (the right-context anchor; cpp:979-985).
+
+    Returns (pos (B,) int64, found (B,) bool). Host-side: one sorted-search
+    over the set positions.
+    """
+    set_pos = np.flatnonzero(thr_R)
+    k = np.searchsorted(set_pos, begins, side="left")
+    k = np.minimum(k, max(len(set_pos) - 1, 0))
+    if len(set_pos) == 0:
+        return np.zeros_like(begins), np.zeros(len(begins), dtype=bool)
+    cand = set_pos[k]
+    found = (cand >= begins) & (cand < ends)
+    return np.where(found, cand, 0), found

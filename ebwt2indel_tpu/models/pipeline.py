@@ -1,0 +1,396 @@
+"""End-to-end calling pipelines — the three run modes of the reference
+(run_one_dataset / run_two_datasets / run_two_datasets_da,
+ebwt2InDel.cpp:1584-1674 / 1344-1465 / 1471-1579).
+
+Phases: index build (device arrays), wavefront traversal (traverse.py),
+vectorized cluster detection (cluster.py), batched per-cluster device calling
+(call.py), and host-side ordered emission (emit.py).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import packing
+from ..utils import dna
+from ..utils.config import Config
+from . import call, cluster, emit, traverse
+from .fm_index import FMIndex
+
+MAX_CLUST_LEN = cluster.MAX_CLUST_LEN
+
+
+def _log(msg: str, file=None):
+    print(msg, file=file or sys.stdout, flush=True)
+
+
+def print_histogram(hist: np.ndarray, out=None):
+    """ASCII cluster-size histogram (ebwt2InDel.cpp:1454-1462)."""
+    scale = max(int(hist.max()), 1)
+    lines = []
+    for i in range(MAX_CLUST_LEN + 1):
+        pad = "   " if i < 10 else ("  " if i < 100 else " ")
+        bars = "-" * ((100 * int(hist[i])) // scale)
+        lines.append(f"{i}{pad}{bars} {int(hist[i])}")
+    _log("\n".join(lines), out)
+
+
+def _decode_rows(codes: np.ndarray, term: int):
+    """(..., L) int8 codes -> flat ASCII bytes for lazy per-row slicing."""
+    return dna.decode_table(term)[codes.astype(np.uint8)]
+
+
+def _ctx_str(ascii_arr: np.ndarray) -> str:
+    return ascii_arr.tobytes().decode("ascii")
+
+
+def _bv_rank1_at(da_cum: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """#ones before each position, from an inclusive cumsum of the DA."""
+    pos = np.asarray(pos, dtype=np.int64)
+    out = np.zeros(len(pos), dtype=np.int64)
+    nz = pos > 0
+    out[nz] = da_cum[pos[nz] - 1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mode 1 — genotyping of a single collection
+# ---------------------------------------------------------------------------
+
+
+def run_one_dataset(cfg: Config, log=_log) -> dict:
+    cfg = cfg.resolved()
+    log("Phase 1/4: loading and indexing eBWT ... ")
+    fm = FMIndex.from_file(cfg.input1, cfg.term)
+    log("done.")
+
+    log("\nPhase 2-3/4: suffix-tree wavefront navigation.")
+    res = traverse.navigate_one_bwt(fm, cfg.K, cfg.k_right)
+    st = res.stats
+    log(f"Computed {st['lcp_values']}/{fm.n} LCP values.")
+    log(f"Found {st['n_min']} LCP minima.")
+    log(f"Max wavefront = {st['max_wave']} ({st['waves']} waves)")
+    log(f"Processed {st['leaves']} suffix-tree leaves and {st['nodes']} nodes.\n")
+
+    log("Phase 4/4: detecting SNPs and indels.")
+    log(f"Output events will be stored in {cfg.output}")
+
+    thr_K = np.asarray(res.thr_K)
+    thr_R = np.asarray(res.thr_R)
+    minima = np.asarray(res.minima)
+    cl = cluster.find_clusters(thr_K, minima, cfg.mcov_out)
+
+    stats = _call_and_emit_single(fm, cl, thr_R, cfg)
+    stats.update(st)
+    stats["n_clusters"] = cl.n_clusters
+
+    avg = cl.clust_size_sum / cl.n_clusters if cl.n_clusters else float("nan")
+    log(f"\nDone.\nAnalyzed {cl.n_clusters} clusters.")
+    log(f"Average cluster length: {avg}.\n")
+    log(
+        f"Stored to file {stats['events']} events clustered in "
+        f"{stats['cluster_nr'] - 1} clusters.\n"
+    )
+    log(
+        "Distribution of bases inside clusters "
+        "(cluster length / number of bases inside clusters of that length): "
+    )
+    print_histogram(cl.hist)
+    return stats
+
+
+def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
+                          thr_R: np.ndarray, cfg: Config) -> dict:
+    B = len(cl.begins)
+    with open(cfg.output, "w") as out_f:
+        writer = emit.SnpWriter(
+            out_f, complexity=cfg.complexity, max_snvs=cfg.max_snvs,
+            mcov_out=cfg.mcov_out, max_gap=cfg.max_gap,
+        )
+        if B == 0:
+            return {"events": 0, "cluster_nr": writer.cluster_nr}
+
+        begins = jnp.asarray(cl.begins, dtype=jnp.int32)
+        ends = jnp.asarray(cl.ends, dtype=jnp.int32)
+
+        quirk, _pure = call.range_counts(fm, begins, ends)
+        ctx, support, full = call.extract_consensus_batch(
+            fm, begins, ends, k_left=cfg.k_left
+        )
+        pos, found = call.first_thr_position(thr_R, cl.begins, cl.ends)
+        seq, seqlen = call.extract_dna_batch(
+            fm, jnp.asarray(pos, dtype=jnp.int32), jnp.asarray(found),
+            k_right=cfg.k_right,
+        )
+
+        quirk = np.asarray(quirk)
+        support = np.asarray(support)
+        full = np.asarray(full)
+        ctx_ascii = _decode_rows(np.asarray(ctx), cfg.term)
+        seq_ascii = _decode_rows(np.asarray(seq), cfg.term)
+        seqlen = np.asarray(seqlen)
+
+        freq = quirk >= cfg.mcov_out  # (B, 4), TERM->A quirk included
+        nfreq = freq.sum(axis=1)
+        passes = nfreq >= 2
+        if cfg.max_variants_per_position > 0:
+            passes &= nfreq <= cfg.max_variants_per_position
+
+        for j in range(B):
+            variants: list[emit.VariantSingle] = []
+            if passes[j] and found[j]:
+                right = _ctx_str(seq_ascii[j, : seqlen[j]])
+                for c in range(4):
+                    if freq[j, c] and full[j, c]:
+                        variants.append(
+                            emit.VariantSingle(
+                                left_context=_ctx_str(ctx_ascii[j, c]),
+                                right_context=right,
+                                support=int(support[j, c]),
+                            )
+                        )
+            writer.write_single_cluster(variants)
+        return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+
+# ---------------------------------------------------------------------------
+# mode 2 — two collections, implicit merge
+# ---------------------------------------------------------------------------
+
+
+def run_two_datasets(cfg: Config, log=_log) -> dict:
+    cfg = cfg.resolved()
+    log("Phase 1/4: loading and indexing eBWTs ... ")
+    fm1 = FMIndex.from_file(cfg.input1, cfg.term)
+    fm2 = FMIndex.from_file(cfg.input2, cfg.term)
+    log("done.")
+
+    log("\nPhase 2-3/4: merged suffix-tree wavefront navigation.")
+    res = traverse.navigate_two_bwts(fm1, fm2, cfg.K, cfg.k_right)
+    st = res.stats
+    n = fm1.n + fm2.n
+    log(f"Computed {st['da_values']}/{n} DA values.")
+    log(f"Computed {st['lcp_values']}/{n} LCP values.")
+    log(f"Found {st['n_min']} LCP minima.")
+    log(f"Processed {st['leaves']} suffix-tree leaves and {st['nodes']} nodes.\n")
+
+    log("Phase 4/4: detecting SNPs and indels.")
+    log(f"Output events will be stored in {cfg.output}")
+
+    thr_K = np.asarray(res.thr_K)
+    thr_R = np.asarray(res.thr_R)
+    minima = np.asarray(res.minima)
+    da = np.asarray(res.da)
+    cl = cluster.find_clusters(thr_K, minima, cfg.mcov_out)
+
+    stats = _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg)
+    stats.update(st)
+    stats["n_clusters"] = cl.n_clusters
+
+    avg = cl.clust_size_sum / cl.n_clusters if cl.n_clusters else float("nan")
+    log(f"\nDone.\nAnalyzed {cl.n_clusters} clusters.")
+    log(f"Average cluster length: {avg}.\n")
+    log(
+        "Distribution of bases inside clusters "
+        "(cluster length / number of bases inside clusters of that length): \n"
+    )
+    print_histogram(cl.hist)
+    return stats
+
+
+def _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg) -> dict:
+    B = len(cl.begins)
+    with open(cfg.output, "w") as out_f:
+        writer = emit.SnpWriter(
+            out_f, complexity=cfg.complexity, max_snvs=cfg.max_snvs,
+            mcov_out=cfg.mcov_out, max_gap=cfg.max_gap,
+        )
+        if B == 0:
+            return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+        da_cum = np.cumsum(da, dtype=np.int64)
+        b1 = _bv_rank1_at(da_cum, cl.begins)
+        e1 = _bv_rank1_at(da_cum, cl.ends)
+        b0 = cl.begins - b1
+        e0 = cl.ends - e1
+
+        r1 = (jnp.asarray(b0, jnp.int32), jnp.asarray(e0, jnp.int32))
+        r2 = (jnp.asarray(b1, jnp.int32), jnp.asarray(e1, jnp.int32))
+
+        quirk0, _ = call.range_counts(fm1, *r1)
+        quirk1, _ = call.range_counts(fm2, *r2)
+        ctx0, support0, full0 = call.extract_consensus_batch(
+            fm1, *r1, k_left=cfg.k_left
+        )
+        ctx1, support1, full1 = call.extract_consensus_batch(
+            fm2, *r2, k_left=cfg.k_left
+        )
+
+        pos, found = call.first_thr_position(thr_R, cl.begins, cl.ends)
+        hit1 = _bv_rank1_at(da_cum, pos)
+        hit0 = pos - hit1
+        da_at = da[pos] != 0
+        seq_a, len_a = call.extract_dna_batch(
+            fm1, jnp.asarray(hit0, jnp.int32),
+            jnp.asarray(found & ~da_at), k_right=cfg.k_right,
+        )
+        seq_b, len_b = call.extract_dna_batch(
+            fm2, jnp.asarray(hit1, jnp.int32),
+            jnp.asarray(found & da_at), k_right=cfg.k_right,
+        )
+        seq = np.where(da_at[:, None], np.asarray(seq_b), np.asarray(seq_a))
+        seqlen = np.where(da_at, np.asarray(len_b), np.asarray(len_a))
+
+        _emit_pair_clusters(
+            writer, cfg, B, found,
+            np.asarray(quirk0), np.asarray(quirk1),
+            np.asarray(support0), np.asarray(support1),
+            np.asarray(full0), np.asarray(full1),
+            _decode_rows(np.asarray(ctx0), cfg.term),
+            _decode_rows(np.asarray(ctx1), cfg.term),
+            _decode_rows(seq, cfg.term), seqlen,
+        )
+        return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+
+def _emit_pair_clusters(writer, cfg, B, found, quirk0, quirk1,
+                        support0, support1, full0, full1,
+                        ctx0_ascii, ctx1_ascii, seq_ascii, seqlen):
+    """Shared two-sample emission: cross-product of frequent chars whose
+    final characters differ (ebwt2InDel.cpp:915-928, 1077-1091)."""
+    freq0 = quirk0 >= cfg.mcov_out
+    freq1 = quirk1 >= cfg.mcov_out
+    n0 = freq0.sum(axis=1)
+    n1 = freq1.sum(axis=1)
+    passes = (n0 > 0) & (n1 > 0)
+    if cfg.max_variants_per_position > 0:
+        q = cfg.max_variants_per_position
+        passes &= (n0 <= q) & (n1 <= q)
+
+    for j in range(B):
+        variants: list[emit.VariantPair] = []
+        if passes[j] and found[j]:
+            right = _ctx_str(seq_ascii[j, : seqlen[j]])
+            for c0 in range(4):
+                if not (freq0[j, c0] and full0[j, c0]):
+                    continue
+                for c1 in range(4):
+                    if not (freq1[j, c1] and full1[j, c1]):
+                        continue
+                    if c0 != c1:  # final characters differ (cpp:921)
+                        variants.append(
+                            emit.VariantPair(
+                                left_context_0=_ctx_str(ctx0_ascii[j, c0]),
+                                left_context_1=_ctx_str(ctx1_ascii[j, c1]),
+                                right_context=right,
+                                support_0=int(support0[j, c0]),
+                                support_1=int(support1[j, c1]),
+                            )
+                        )
+        writer.write_pair_cluster(variants)
+
+
+# ---------------------------------------------------------------------------
+# mode 3 — merged BWT + document array
+# ---------------------------------------------------------------------------
+
+
+def run_two_datasets_da(cfg: Config, log=_log) -> dict:
+    cfg = cfg.resolved()
+    log("Phase 1/4: loading and indexing eBWT ... ")
+    codes = packing.read_ebwt_codes(cfg.input1, cfg.term)
+    fm = FMIndex.from_packed(packing.pack_codes(codes, cfg.term))
+    log("done.")
+
+    log("\nPhase 2-3/4: suffix-tree wavefront navigation.")
+    res = traverse.navigate_one_bwt(fm, cfg.K, cfg.k_right)
+    st = res.stats
+    log(f"Computed {st['lcp_values']}/{fm.n} LCP values.")
+    log(f"Found {st['n_min']} LCP minima.\n")
+
+    log("Phase 4/4: detecting SNPs and indels.")
+    log(f"Output events will be stored in {cfg.output}")
+
+    da = packing.read_da_file(cfg.input_da, fm.n)
+    # rank structure over the DA=1 side: replace DA=0 characters with TERM so
+    # per-individual counts come from two rank diffs (SURVEY.md §7 layer 5)
+    codes_da1 = np.where(da != 0, codes, np.uint8(dna.TERM_CODE))
+    fm_da1 = FMIndex.from_packed(packing.pack_codes(codes_da1, cfg.term))
+
+    thr_K = np.asarray(res.thr_K)
+    thr_R = np.asarray(res.thr_R)
+    minima = np.asarray(res.minima)
+    cl = cluster.find_clusters(thr_K, minima, cfg.mcov_out)
+
+    stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg)
+    stats.update(st)
+    stats["n_clusters"] = cl.n_clusters
+
+    avg = cl.clust_size_sum / cl.n_clusters if cl.n_clusters else float("nan")
+    log(f"\nDone.\nAnalyzed {cl.n_clusters} clusters.")
+    log(f"Average cluster length: {avg}.\n")
+    log(
+        "Distribution of bases inside clusters "
+        "(cluster length / number of bases inside clusters of that length): \n"
+    )
+    print_histogram(cl.hist)
+    # mode-3 quirk: the reference prints the (never-incremented) `events`
+    # counter here — always 0 (ebwt2InDel.cpp:1577)
+    log(
+        f"\nStored to file 0 sequences clustered in "
+        f"{stats['cluster_nr'] - 1} clusters."
+    )
+    return stats
+
+
+def _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg) -> dict:
+    B = len(cl.begins)
+    with open(cfg.output, "w") as out_f:
+        writer = emit.SnpWriter(
+            out_f, complexity=cfg.complexity, max_snvs=cfg.max_snvs,
+            mcov_out=cfg.mcov_out, max_gap=cfg.max_gap,
+        )
+        if B == 0:
+            return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+        begins = jnp.asarray(cl.begins, jnp.int32)
+        ends = jnp.asarray(cl.ends, jnp.int32)
+
+        # per-individual counts with the TERM->A quirk applied per side
+        # (find_variants DA overload, ebwt2InDel.cpp:1013-1030)
+        _, pure_all = call.range_counts(fm, begins, ends)
+        _, pure_1 = call.range_counts(fm_da1, begins, ends)
+        pure_all = np.asarray(pure_all).astype(np.int64)
+        pure_1 = np.asarray(pure_1).astype(np.int64)
+        da_cum = np.cumsum(da, dtype=np.int64)
+        len1 = _bv_rank1_at(da_cum, cl.ends) - _bv_rank1_at(da_cum, cl.begins)
+        len_all = cl.ends - cl.begins
+        pure_0 = pure_all - pure_1
+        quirk1 = pure_1.copy()
+        quirk1[:, 0] += len1 - pure_1.sum(axis=1)
+        quirk0 = pure_0.copy()
+        quirk0[:, 0] += (len_all - len1) - pure_0.sum(axis=1)
+
+        # both individuals' left contexts come from the merged BWT
+        # (cpp:1057-1058) — supports are merged counts
+        ctx, support, full = call.extract_consensus_batch(
+            fm, begins, ends, k_left=cfg.k_left
+        )
+        pos, found = call.first_thr_position(thr_R, cl.begins, cl.ends)
+        seq, seqlen = call.extract_dna_batch(
+            fm, jnp.asarray(pos, jnp.int32), jnp.asarray(found),
+            k_right=cfg.k_right,
+        )
+
+        ctx_ascii = _decode_rows(np.asarray(ctx), cfg.term)
+        _emit_pair_clusters(
+            writer, cfg, B, found, quirk0, quirk1,
+            np.asarray(support), np.asarray(support),
+            np.asarray(full), np.asarray(full),
+            ctx_ascii, ctx_ascii,
+            _decode_rows(np.asarray(seq), cfg.term), np.asarray(seqlen),
+        )
+        return {"events": writer.events, "cluster_nr": writer.cluster_nr}
