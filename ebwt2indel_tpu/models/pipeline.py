@@ -27,7 +27,7 @@ def _log(msg: str, file=None):
     print(msg, file=file or sys.stdout, flush=True)
 
 
-def print_histogram(hist: np.ndarray, out=None):
+def histogram_str(hist: np.ndarray) -> str:
     """ASCII cluster-size histogram (ebwt2InDel.cpp:1454-1462)."""
     scale = max(int(hist.max()), 1)
     lines = []
@@ -35,7 +35,11 @@ def print_histogram(hist: np.ndarray, out=None):
         pad = "   " if i < 10 else ("  " if i < 100 else " ")
         bars = "-" * ((100 * int(hist[i])) // scale)
         lines.append(f"{i}{pad}{bars} {int(hist[i])}")
-    _log("\n".join(lines), out)
+    return "\n".join(lines)
+
+
+def print_histogram(hist: np.ndarray, log=_log):
+    log(histogram_str(hist))
 
 
 def _decode_rows(codes: np.ndarray, term: int):
@@ -98,7 +102,7 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
         "Distribution of bases inside clusters "
         "(cluster length / number of bases inside clusters of that length): "
     )
-    print_histogram(cl.hist)
+    print_histogram(cl.hist, log)
     return stats
 
 
@@ -197,7 +201,7 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
         "Distribution of bases inside clusters "
         "(cluster length / number of bases inside clusters of that length): \n"
     )
-    print_histogram(cl.hist)
+    print_histogram(cl.hist, log)
     return stats
 
 
@@ -336,7 +340,7 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
         "Distribution of bases inside clusters "
         "(cluster length / number of bases inside clusters of that length): \n"
     )
-    print_histogram(cl.hist)
+    print_histogram(cl.hist, log)
     # mode-3 quirk: the reference prints the (never-incremented) `events`
     # counter here — always 0 (ebwt2InDel.cpp:1577)
     log(
