@@ -32,6 +32,9 @@ from . import fm_index as fm_ops
 from .fm_index import FMIndex
 
 MIN_BUCKET = 512
+MAX_BUCKET = 1 << 17  # frontier chunk cap: bounds the set of compiled shapes
+# to log2(MAX_BUCKET/MIN_BUCKET)+1 buckets per wave function — first-compile
+# cost matters on TPU where compiles go through a remote service
 
 
 def _bucket(n: int) -> int:
@@ -41,18 +44,34 @@ def _bucket(n: int) -> int:
     return b
 
 
-def _pad_frontier(arr: np.ndarray | jax.Array, width: int, count: int):
-    """Pad a (count, w) frontier to (bucket, w); returns (padded, valid_len)."""
-    cap = _bucket(max(count, 1))
-    if isinstance(arr, np.ndarray):
-        out = np.zeros((cap, width), dtype=np.int32)
-        out[:count] = arr[:count]
-        return jnp.asarray(out), count
-    if arr.shape[0] == cap:
-        return arr, count
-    out = jnp.zeros((cap, width), dtype=jnp.int32)
-    out = jax.lax.dynamic_update_slice(out, arr[:count], (0, 0))
-    return out, count
+def _drive(wave, frontier_np: np.ndarray, width: int, on_stats):
+    """Chunked frontier driver: process the pending frontier in power-of-two
+    buckets capped at MAX_BUCKET; children append to the pending queue.
+
+    Visit order interleaves depths once chunking kicks in — legal because all
+    traversal writes are position-disjoint and order-free (SURVEY.md §2.5).
+    ``wave`` maps (chunk, count) -> (children_buf, n_children, *stat_scalars);
+    per-chunk host work is one scalar readback.
+    """
+    frontier = jnp.asarray(frontier_np.astype(np.int32))
+    while frontier.shape[0] > 0:
+        take = min(frontier.shape[0], MAX_BUCKET)
+        cap = _bucket(take)
+        chunk = frontier[:take]
+        rest = frontier[take:]
+        if chunk.shape[0] != cap:
+            pad = jnp.zeros((cap - chunk.shape[0], width), dtype=jnp.int32)
+            chunk = jnp.concatenate([chunk, pad])
+        out, n_out, *stats = wave(chunk, jnp.int32(take))
+        n_out = int(n_out)
+        on_stats(take, stats)
+        children = out[:n_out]
+        if rest.shape[0] == 0:
+            frontier = children
+        elif n_out == 0:
+            frontier = rest
+        else:
+            frontier = jnp.concatenate([rest, children])
 
 
 def _compact(flat, keep, out_rows):
@@ -177,36 +196,47 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
 
     stats = {"leaves": 0, "nodes": 0, "lcp_values": 1, "n_min": 0,
              "max_wave": 0, "waves": 0}
+    state = {"diff_K": diff_K, "diff_R": diff_R, "thr_K": thr_K,
+             "thr_R": thr_R, "minima": minima}
 
-    frontier, count = _pad_frontier(fm.first_leaf()[None, :], 3, 1)
-    while count:
-        stats["leaves"] += count
-        stats["max_wave"] = max(stats["max_wave"], count)
-        stats["waves"] += 1
-        frontier, n_out, diff_K, diff_R, lcp = _leaf_wave(
-            fm, frontier, jnp.int32(count), diff_K, diff_R, K=K, k_right=k_right
+    def leaf_wave(chunk, count):
+        out, n_out, dk, dr, lcp = _leaf_wave(
+            fm, chunk, count, state["diff_K"], state["diff_R"],
+            K=K, k_right=k_right
         )
-        stats["lcp_values"] += int(lcp)
-        count = int(n_out)
-        frontier, count = _pad_frontier(frontier, 3, count)
+        state["diff_K"], state["diff_R"] = dk, dr
+        return out, n_out, lcp
+
+    def on_leaf(take, s):
+        stats["leaves"] += take
+        stats["max_wave"] = max(stats["max_wave"], take)
+        stats["waves"] += 1
+        stats["lcp_values"] += int(s[0])
         if progress:
             progress("leaves", stats)
 
-    frontier, count = _pad_frontier(fm.root()[None, :], 7, 1)
-    while count:
-        stats["nodes"] += count
-        stats["max_wave"] = max(stats["max_wave"], count)
-        stats["waves"] += 1
-        frontier, n_out, thr_K, thr_R, minima, lcp, nm = _node_wave(
-            fm, frontier, jnp.int32(count), thr_K, thr_R, minima,
+    _drive(leaf_wave, fm.first_leaf()[None, :], 3, on_leaf)
+
+    def node_wave(chunk, count):
+        out, n_out, tk, tr, mn, lcp, nm = _node_wave(
+            fm, chunk, count, state["thr_K"], state["thr_R"], state["minima"],
             K=K, k_right=k_right
         )
-        stats["lcp_values"] += int(lcp)
-        stats["n_min"] += int(nm)
-        count = int(n_out)
-        frontier, count = _pad_frontier(frontier, 7, count)
+        state["thr_K"], state["thr_R"], state["minima"] = tk, tr, mn
+        return out, n_out, lcp, nm
+
+    def on_node(take, s):
+        stats["nodes"] += take
+        stats["max_wave"] = max(stats["max_wave"], take)
+        stats["waves"] += 1
+        stats["lcp_values"] += int(s[0])
+        stats["n_min"] += int(s[1])
         if progress:
             progress("nodes", stats)
+
+    _drive(node_wave, fm.root()[None, :], 7, on_node)
+    diff_K, diff_R = state["diff_K"], state["diff_R"]
+    thr_K, thr_R, minima = state["thr_K"], state["thr_R"], state["minima"]
 
     thr_K = thr_K | (jnp.cumsum(diff_K[:n]) > 0).astype(jnp.uint8)
     thr_R = thr_R | (jnp.cumsum(diff_R[:n]) > 0).astype(jnp.uint8)
@@ -350,46 +380,59 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
 
     stats = {"leaves": 0, "nodes": 0, "lcp_values": 1, "da_values": 0,
              "n_min": 0, "max_wave": 0, "waves": 0}
+    state = {"diff_K": diff_K, "diff_R": diff_R, "diff_DA": diff_DA,
+             "thr_K": thr_K, "thr_R": thr_R, "minima": minima,
+             "da_set": da_set}
+
+    def leaf_wave(chunk, count):
+        out, n_out, dk, dr, dd, lcp, dav = _leaf_pair_wave(
+            fm1, fm2, chunk, count, state["diff_K"], state["diff_R"],
+            state["diff_DA"], K=K, k_right=k_right
+        )
+        state["diff_K"], state["diff_R"], state["diff_DA"] = dk, dr, dd
+        return out, n_out, lcp, dav
+
+    def on_leaf(take, s):
+        stats["leaves"] += take
+        stats["max_wave"] = max(stats["max_wave"], take)
+        stats["waves"] += 1
+        stats["lcp_values"] += int(s[0])
+        stats["da_values"] += int(s[1])
+        if progress:
+            progress("leaves", stats)
 
     l1 = fm1.first_leaf()
     l2 = fm2.first_leaf()
     start = np.array([[l1[0], l1[1], l2[0], l2[1], 0]], dtype=np.int32)
-    frontier, count = _pad_frontier(start, 5, 1)
-    while count:
-        stats["leaves"] += count
-        stats["max_wave"] = max(stats["max_wave"], count)
-        stats["waves"] += 1
-        frontier, n_out, diff_K, diff_R, diff_DA, lcp, dav = _leaf_pair_wave(
-            fm1, fm2, frontier, jnp.int32(count), diff_K, diff_R, diff_DA,
-            K=K, k_right=k_right
+    _drive(leaf_wave, start, 5, on_leaf)
+
+    def node_wave(chunk, count):
+        out, n_out, tk, tr, mn, ds, lcp, dav, nm = _node_pair_wave(
+            fm1, fm2, chunk, count, state["thr_K"], state["thr_R"],
+            state["minima"], state["da_set"], K=K, k_right=k_right
         )
-        stats["lcp_values"] += int(lcp)
-        stats["da_values"] += int(dav)
-        count = int(n_out)
-        frontier, count = _pad_frontier(frontier, 5, count)
+        state["thr_K"], state["thr_R"] = tk, tr
+        state["minima"], state["da_set"] = mn, ds
+        return out, n_out, lcp, dav, nm
+
+    def on_node(take, s):
+        stats["nodes"] += take
+        stats["max_wave"] = max(stats["max_wave"], take)
+        stats["waves"] += 1
+        stats["lcp_values"] += int(s[0])
+        stats["da_values"] += int(s[1])
+        stats["n_min"] += int(s[2])
         if progress:
-            progress("leaves", stats)
+            progress("nodes", stats)
 
     r1 = fm1.root()
     r2 = fm2.root()
     start = np.concatenate([r1[:6], r2[:6], [0]]).astype(np.int32)[None, :]
-    frontier, count = _pad_frontier(start, 13, 1)
-    while count:
-        stats["nodes"] += count
-        stats["max_wave"] = max(stats["max_wave"], count)
-        stats["waves"] += 1
-        (frontier, n_out, thr_K, thr_R, minima, da_set, lcp, dav,
-         nm) = _node_pair_wave(
-            fm1, fm2, frontier, jnp.int32(count), thr_K, thr_R, minima,
-            da_set, K=K, k_right=k_right
-        )
-        stats["lcp_values"] += int(lcp)
-        stats["da_values"] += int(dav)
-        stats["n_min"] += int(nm)
-        count = int(n_out)
-        frontier, count = _pad_frontier(frontier, 13, count)
-        if progress:
-            progress("nodes", stats)
+    _drive(node_wave, start, 13, on_node)
+    diff_K, diff_R, diff_DA = (state["diff_K"], state["diff_R"],
+                               state["diff_DA"])
+    thr_K, thr_R = state["thr_K"], state["thr_R"]
+    minima, da_set = state["minima"], state["da_set"]
 
     thr_K = thr_K | (jnp.cumsum(diff_K[:n]) > 0).astype(jnp.uint8)
     thr_R = thr_R | (jnp.cumsum(diff_R[:n]) > 0).astype(jnp.uint8)

@@ -1,0 +1,79 @@
+"""Sharded-execution tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ebwt2indel_tpu.ops import packing
+from ebwt2indel_tpu.parallel import shard
+from tests import oracle
+from tests.test_rank import random_codes
+
+
+def test_sharded_rank_matches_local(rng):
+    assert jax.device_count() >= 8
+    mesh = shard.make_mesh(8)
+    codes = random_codes(rng, 50000)
+    pb = packing.pack_codes(codes)
+    blocks, bcounts, F, rows = shard.shard_packed(pb, mesh)
+    ranker = shard.sharded_parallel_rank(mesh, rows)
+    qs = rng.integers(0, pb.n + 1, size=256).astype(np.int32)
+    got = np.asarray(jax.jit(ranker)(blocks, jnp.asarray(qs)))
+    for q, row in zip(qs, got):
+        np.testing.assert_array_equal(row, oracle.rank_oracle(codes, int(q)))
+
+
+def test_sharded_cluster_scan(rng):
+    mesh = shard.make_mesh(8)
+    n = 8 * 1000
+    thr = (rng.random(n) < 0.4).astype(np.uint8)
+    minima = (rng.random(n) < 0.2).astype(np.uint8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    thr_d = jax.device_put(thr, NamedSharding(mesh, P(shard.AXIS)))
+    min_d = jax.device_put(minima, NamedSharding(mesh, P(shard.AXIS)))
+    scan = shard.sharded_cluster_scan(mesh)
+    starts, n_starts, n_in = jax.jit(scan)(thr_d, min_d)
+
+    mask = (thr != 0) & (minima == 0)
+    exp_starts = mask & ~np.concatenate([[False], mask[:-1]])
+    np.testing.assert_array_equal(np.asarray(starts), exp_starts.astype(np.uint8))
+    assert int(n_starts) == int(exp_starts.sum())
+    assert int(n_in) == int(mask.sum())
+
+
+def test_sharded_wave_step(rng):
+    mesh = shard.make_mesh(8)
+    codes = random_codes(rng, 20000)
+    pb = packing.pack_codes(codes)
+    blocks, bcounts, F, rows = shard.shard_packed(pb, mesh)
+    n = pb.n
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pad_n = ((n + 7) // 8) * 8
+    thr = jax.device_put(np.zeros(pad_n, np.uint8),
+                         NamedSharding(mesh, P(shard.AXIS)))
+    step = shard.sharded_wave_step(mesh, rows, pad_n)
+
+    Fh = pb.F.astype(np.int32)
+    root = np.array(
+        [[0, Fh[0], Fh[1], Fh[2], Fh[3], n, 0]], dtype=np.int32
+    )
+    nodes = np.zeros((64, 7), dtype=np.int32)
+    nodes[0] = root
+    out, n_out, thr = jax.jit(step, static_argnames=())(
+        blocks, F, jnp.asarray(nodes), jnp.int32(1), thr, jnp.int32(0)
+    )
+    # the root extends to at least one right-maximal node on random DNA
+    assert int(n_out) >= 1
+    out = np.asarray(out)[: int(n_out)]
+    # children returned by the sharded step must match the local extension
+    from ebwt2indel_tpu.models import fm_index as fm_ops
+    from ebwt2indel_tpu.models.fm_index import FMIndex
+
+    fm = FMIndex.from_packed(pb)
+    ext = np.asarray(fm_ops.extend_node(fm, jnp.asarray(root)))[0]
+    nch = np.asarray(fm_ops.node_num_children(jnp.asarray(ext)))
+    exp = ext[nch >= 2]
+    np.testing.assert_array_equal(out, exp)
