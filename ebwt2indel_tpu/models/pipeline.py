@@ -76,7 +76,7 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     st = res.stats
     log(f"Computed {st['lcp_values']}/{fm.n} LCP values.")
     log(f"Found {st['n_min']} LCP minima.")
-    log(f"Max wavefront = {st['max_wave']} ({st['waves']} waves)")
+    log(f"Max pending frontier = {st['max_pending']}")
     log(f"Processed {st['leaves']} suffix-tree leaves and {st['nodes']} nodes.\n")
 
     log("Phase 4/4: detecting SNPs and indels.")

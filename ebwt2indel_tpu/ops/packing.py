@@ -28,6 +28,7 @@ dna_string.hpp:254-272).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -135,6 +136,44 @@ def pack_file(path: str, term: int = dna.DEFAULT_TERM) -> PackedBwt:
         return native.pack_file(path, term)
     except Exception:
         return pack_codes(read_ebwt_codes(path, term), term)
+
+
+def save_packed(pb: PackedBwt, path: str) -> None:
+    """Persist a packed index — the cacheable/checkpointable artifact
+    (the reference has serialize/load for this but never wires it to the CLI:
+    dna_string.hpp:205-243, dna_bwt.hpp:238-289 incl. the latent load bug at
+    263-266; here it is a first-class capability)."""
+    np.savez(
+        path, blocks=pb.blocks, block_counts=pb.block_counts, F=pb.F,
+        counts=pb.counts, n=np.int64(pb.n), term=np.int64(pb.term),
+    )
+
+
+def load_packed(path: str) -> PackedBwt:
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return PackedBwt(
+        blocks=z["blocks"], block_counts=z["block_counts"], F=z["F"],
+        counts=z["counts"], n=int(z["n"]), term=int(z["term"]),
+    )
+
+
+def pack_file_cached(path: str, term: int = dna.DEFAULT_TERM,
+                     cache: bool = True) -> PackedBwt:
+    """pack_file with an .ebwt.idx.npz sidecar cache keyed by mtime."""
+    idx = path + ".idx.npz"
+    if cache and os.path.isfile(idx) and \
+            os.path.getmtime(idx) >= os.path.getmtime(path):
+        try:
+            return load_packed(idx)
+        except Exception:
+            pass
+    pb = pack_file(path, term)
+    if cache:
+        try:
+            save_packed(pb, idx[:-4])
+        except Exception:
+            pass
+    return pb
 
 
 def pack_bitvector(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

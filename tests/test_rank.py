@@ -97,3 +97,14 @@ def test_bitvector_rank(rng):
         assert g == bits[:q].sum(), q
     gotbits = np.asarray(rank.bv_get(w, jnp.arange(n, dtype=jnp.int32)))
     np.testing.assert_array_equal(gotbits, bits)
+
+
+def test_save_load_packed(tmp_path, rng):
+    codes = random_codes(rng, 5000)
+    pb = packing.pack_codes(codes)
+    p = str(tmp_path / "idx")
+    packing.save_packed(pb, p)
+    pb2 = packing.load_packed(p + ".npz")
+    np.testing.assert_array_equal(pb.blocks, pb2.blocks)
+    np.testing.assert_array_equal(pb.F, pb2.F)
+    assert pb.n == pb2.n and pb.term == pb2.term
