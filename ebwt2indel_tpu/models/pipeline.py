@@ -17,7 +17,7 @@ import numpy as np
 from ..ops import packing
 from ..utils import dna
 from ..utils.config import Config
-from . import call, cluster, emit, traverse
+from . import call, cluster, emit, emit_vec, traverse
 from .fm_index import FMIndex
 
 MAX_CLUST_LEN = cluster.MAX_CLUST_LEN
@@ -143,21 +143,10 @@ def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
         if cfg.max_variants_per_position > 0:
             passes &= nfreq <= cfg.max_variants_per_position
 
-        for j in range(B):
-            variants: list[emit.VariantSingle] = []
-            if passes[j] and found[j]:
-                right = _ctx_str(seq_ascii[j, : seqlen[j]])
-                for c in range(4):
-                    if freq[j, c] and full[j, c]:
-                        variants.append(
-                            emit.VariantSingle(
-                                left_context=_ctx_str(ctx_ascii[j, c]),
-                                right_context=right,
-                                support=int(support[j, c]),
-                            )
-                        )
-            writer.write_single_cluster(variants)
-        return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+        return emit_vec.emit_single(
+            out_f, cfg, found, passes, freq, full, support,
+            ctx_ascii, seq_ascii, seqlen,
+        )
 
 
 # ---------------------------------------------------------------------------
