@@ -10,7 +10,9 @@ vectorized cluster detection (cluster.py), batched per-cluster device calling
 from __future__ import annotations
 
 import sys
+import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +27,23 @@ MAX_CLUST_LEN = cluster.MAX_CLUST_LEN
 
 def _log(msg: str, file=None):
     print(msg, file=file or sys.stdout, flush=True)
+
+
+def _timing_marker():
+    """Sub-phase timing printed when EBWT_TIMING=1 (diagnostics only)."""
+    import os
+
+    if not os.environ.get("EBWT_TIMING"):
+        return lambda name: None
+    state = {"t": time.perf_counter()}
+
+    def mark(name):
+        now = time.perf_counter()
+        print(f"[timing] {name}: {now - state['t']:.3f}s", file=sys.stderr,
+              flush=True)
+        state["t"] = now
+
+    return mark
 
 
 def histogram_str(hist: np.ndarray) -> str:
@@ -67,17 +86,23 @@ def _bv_rank1_at(da_cum: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 def run_one_dataset(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
+    t0 = time.perf_counter()
     log("Phase 1/4: loading and indexing eBWT ... ")
     fm = FMIndex.from_file(cfg.input1, cfg.term)
-    log("done.")
+    jax.block_until_ready(fm.blocks)
+    t1 = time.perf_counter()
+    log(f"done. [{t1 - t0:.2f}s]")
 
     log("\nPhase 2-3/4: suffix-tree wavefront navigation.")
     res = traverse.navigate_one_bwt(fm, cfg.K, cfg.k_right)
+    jax.block_until_ready(res.thr_K)
+    t2 = time.perf_counter()
     st = res.stats
     log(f"Computed {st['lcp_values']}/{fm.n} LCP values.")
     log(f"Found {st['n_min']} LCP minima.")
     log(f"Max pending frontier = {st['max_pending']}")
-    log(f"Processed {st['leaves']} suffix-tree leaves and {st['nodes']} nodes.\n")
+    log(f"Processed {st['leaves']} suffix-tree leaves and {st['nodes']} "
+        f"nodes. [{t2 - t1:.2f}s]\n")
 
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
@@ -85,9 +110,14 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     thr_K = np.asarray(res.thr_K)
     thr_R = np.asarray(res.thr_R)
     minima = np.asarray(res.minima)
+    t3 = time.perf_counter()
     cl = cluster.find_clusters(thr_K, minima, cfg.mcov_out)
+    t4 = time.perf_counter()
+    log(f"[timing] flag download {t3 - t2:.2f}s, cluster detect "
+        f"{t4 - t3:.2f}s")
 
     stats = _call_and_emit_single(fm, cl, thr_R, cfg)
+    log(f"[timing] call+emit {time.perf_counter() - t4:.2f}s")
     stats.update(st)
     stats["n_clusters"] = cl.n_clusters
 
@@ -117,36 +147,54 @@ def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
         if B == 0:
             return {"events": 0, "cluster_nr": writer.cluster_nr}
 
+        tmark = _timing_marker()
         begins = jnp.asarray(cl.begins, dtype=jnp.int32)
         ends = jnp.asarray(cl.ends, dtype=jnp.int32)
 
+        # cheap filter FIRST, walks only for survivors — the reference
+        # likewise rejects clusters on base counts before any context
+        # extraction (find_variants, ebwt2InDel.cpp:947-966); in practice
+        # >99% of analyzed clusters fail the >=2-frequent-chars test
         quirk, _pure = call.range_counts(fm, begins, ends)
-        ctx, support, full = call.extract_consensus_batch(
-            fm, begins, ends, k_left=cfg.k_left
-        )
-        pos, found = call.first_thr_position(thr_R, cl.begins, cl.ends)
-        seq, seqlen = call.extract_dna_batch(
-            fm, jnp.asarray(pos, dtype=jnp.int32), jnp.asarray(found),
-            k_right=cfg.k_right,
-        )
-
         quirk = np.asarray(quirk)
-        support = np.asarray(support)
-        full = np.asarray(full)
-        ctx_ascii = _decode_rows(np.asarray(ctx), cfg.term)
-        seq_ascii = _decode_rows(np.asarray(seq), cfg.term)
-        seqlen = np.asarray(seqlen)
+        tmark("counts")
 
         freq = quirk >= cfg.mcov_out  # (B, 4), TERM->A quirk included
         nfreq = freq.sum(axis=1)
         passes = nfreq >= 2
         if cfg.max_variants_per_position > 0:
             passes &= nfreq <= cfg.max_variants_per_position
+        sel = np.flatnonzero(passes)
+        tmark("filter")
+        if len(sel) == 0:
+            return {"events": 0, "cluster_nr": 1}
 
-        return emit_vec.emit_single(
-            out_f, cfg, found, passes, freq, full, support,
+        sb = jnp.asarray(cl.begins[sel], dtype=jnp.int32)
+        se = jnp.asarray(cl.ends[sel], dtype=jnp.int32)
+        ctx, support, full = call.extract_consensus_batch(
+            fm, sb, se, k_left=cfg.k_left
+        )
+        pos, found = call.first_thr_position(thr_R, cl.begins[sel],
+                                             cl.ends[sel])
+        seq, seqlen = call.extract_dna_batch(
+            fm, jnp.asarray(pos, dtype=jnp.int32), jnp.asarray(found),
+            k_right=cfg.k_right,
+        )
+        tmark("walks")
+
+        support = np.asarray(support)
+        full = np.asarray(full)
+        ctx_ascii = _decode_rows(np.asarray(ctx), cfg.term)
+        seq_ascii = _decode_rows(np.asarray(seq), cfg.term)
+        seqlen = np.asarray(seqlen)
+        tmark("download")
+
+        out = emit_vec.emit_single(
+            out_f, cfg, found, passes[sel], freq[sel], full, support,
             ctx_ascii, seq_ascii, seqlen,
         )
+        tmark("emit")
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -210,11 +258,23 @@ def _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg) -> dict:
         b0 = cl.begins - b1
         e0 = cl.ends - e1
 
-        r1 = (jnp.asarray(b0, jnp.int32), jnp.asarray(e0, jnp.int32))
-        r2 = (jnp.asarray(b1, jnp.int32), jnp.asarray(e1, jnp.int32))
+        # cheap per-individual counts first; walks only for clusters passing
+        # the both-covered filter (ebwt2InDel.cpp:870-880)
+        quirk0, _ = call.range_counts(
+            fm1, jnp.asarray(b0, jnp.int32), jnp.asarray(e0, jnp.int32)
+        )
+        quirk1, _ = call.range_counts(
+            fm2, jnp.asarray(b1, jnp.int32), jnp.asarray(e1, jnp.int32)
+        )
+        quirk0 = np.asarray(quirk0)
+        quirk1 = np.asarray(quirk1)
+        passes = _pair_passes(quirk0, quirk1, cfg)
+        sel = np.flatnonzero(passes)
+        if len(sel) == 0:
+            return {"events": writer.events, "cluster_nr": writer.cluster_nr}
 
-        quirk0, _ = call.range_counts(fm1, *r1)
-        quirk1, _ = call.range_counts(fm2, *r2)
+        r1 = (jnp.asarray(b0[sel], jnp.int32), jnp.asarray(e0[sel], jnp.int32))
+        r2 = (jnp.asarray(b1[sel], jnp.int32), jnp.asarray(e1[sel], jnp.int32))
         ctx0, support0, full0 = call.extract_consensus_batch(
             fm1, *r1, k_left=cfg.k_left
         )
@@ -222,7 +282,8 @@ def _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg) -> dict:
             fm2, *r2, k_left=cfg.k_left
         )
 
-        pos, found = call.first_thr_position(thr_R, cl.begins, cl.ends)
+        pos, found = call.first_thr_position(thr_R, cl.begins[sel],
+                                             cl.ends[sel])
         hit1 = _bv_rank1_at(da_cum, pos)
         hit0 = pos - hit1
         da_at = da[pos] != 0
@@ -238,8 +299,8 @@ def _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg) -> dict:
         seqlen = np.where(da_at, np.asarray(len_b), np.asarray(len_a))
 
         _emit_pair_clusters(
-            writer, cfg, B, found,
-            np.asarray(quirk0), np.asarray(quirk1),
+            writer, cfg, len(sel), found,
+            quirk0[sel], quirk1[sel],
             np.asarray(support0), np.asarray(support1),
             np.asarray(full0), np.asarray(full1),
             _decode_rows(np.asarray(ctx0), cfg.term),
@@ -247,6 +308,18 @@ def _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg) -> dict:
             _decode_rows(seq, cfg.term), seqlen,
         )
         return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+
+def _pair_passes(quirk0, quirk1, cfg):
+    freq0 = quirk0 >= cfg.mcov_out
+    freq1 = quirk1 >= cfg.mcov_out
+    n0 = freq0.sum(axis=1)
+    n1 = freq1.sum(axis=1)
+    passes = (n0 > 0) & (n1 > 0)
+    if cfg.max_variants_per_position > 0:
+        q = cfg.max_variants_per_position
+        passes &= (n0 <= q) & (n1 <= q)
+    return passes
 
 
 def _emit_pair_clusters(writer, cfg, B, found, quirk0, quirk1,
@@ -367,12 +440,19 @@ def _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg) -> dict:
         quirk0 = pure_0.copy()
         quirk0[:, 0] += (len_all - len1) - pure_0.sum(axis=1)
 
+        passes = _pair_passes(quirk0, quirk1, cfg)
+        sel = np.flatnonzero(passes)
+        if len(sel) == 0:
+            return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
         # both individuals' left contexts come from the merged BWT
         # (cpp:1057-1058) — supports are merged counts
         ctx, support, full = call.extract_consensus_batch(
-            fm, begins, ends, k_left=cfg.k_left
+            fm, jnp.asarray(cl.begins[sel], jnp.int32),
+            jnp.asarray(cl.ends[sel], jnp.int32), k_left=cfg.k_left
         )
-        pos, found = call.first_thr_position(thr_R, cl.begins, cl.ends)
+        pos, found = call.first_thr_position(thr_R, cl.begins[sel],
+                                             cl.ends[sel])
         seq, seqlen = call.extract_dna_batch(
             fm, jnp.asarray(pos, jnp.int32), jnp.asarray(found),
             k_right=cfg.k_right,
@@ -380,7 +460,7 @@ def _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg) -> dict:
 
         ctx_ascii = _decode_rows(np.asarray(ctx), cfg.term)
         _emit_pair_clusters(
-            writer, cfg, B, found, quirk0, quirk1,
+            writer, cfg, len(sel), found, quirk0[sel], quirk1[sel],
             np.asarray(support), np.asarray(support),
             np.asarray(full), np.asarray(full),
             ctx_ascii, ctx_ascii,
