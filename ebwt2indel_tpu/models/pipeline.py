@@ -174,13 +174,17 @@ def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
         ctx, support, full = call.extract_consensus_batch(
             fm, sb, se, k_left=cfg.k_left
         )
+        jax.block_until_ready(ctx)
+        tmark("walk_consensus")
         pos, found = call.first_thr_position(thr_R, cl.begins[sel],
                                              cl.ends[sel])
+        tmark("walk_thrpos")
         seq, seqlen = call.extract_dna_batch(
             fm, jnp.asarray(pos, dtype=jnp.int32), jnp.asarray(found),
             k_right=cfg.k_right,
         )
-        tmark("walks")
+        jax.block_until_ready(seq)
+        tmark("walk_dna")
 
         support = np.asarray(support)
         full = np.asarray(full)

@@ -70,22 +70,26 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     (reference: update_LCP_leaf, ebwt2InDel.cpp:344-355); children = W#
     left-extensions with size >= 2 (next_leaves, dna_bwt.hpp:358-379).
     """
-    diff_K, diff_R = flags
+    (dif,) = flags  # (2*(n+1),) int32: field 0 = K-diff, field 1 = R-diff
     C = chunk.shape[0]
+    stride = dif.shape[0] // 2
     valid = jnp.arange(C, dtype=jnp.int32) < count
     first, second, depth = chunk[:, 0], chunk[:, 1], chunk[:, 2]
-    dummy = jnp.int32(diff_K.shape[0])
+    dummy = jnp.int32(dif.shape[0])
 
-    cond = valid & (depth >= K)
-    diff_K = (
-        diff_K.at[jnp.where(cond, first + 1, dummy)].add(1, mode="drop")
-        .at[jnp.where(cond, second, dummy)].add(-1, mode="drop")
-    )
-    cond = valid & (depth >= k_right)
-    diff_R = (
-        diff_R.at[jnp.where(cond, first + 1, dummy)].add(1, mode="drop")
-        .at[jnp.where(cond, second, dummy)].add(-1, mode="drop")
-    )
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    idx = jnp.concatenate([
+        jnp.where(condK, first + 1, dummy),
+        jnp.where(condK, second, dummy),
+        jnp.where(condR, first + 1 + stride, dummy),
+        jnp.where(condR, second + stride, dummy),
+    ])
+    val = jnp.concatenate([
+        jnp.ones(C, jnp.int32), jnp.full(C, -1, jnp.int32),
+        jnp.ones(C, jnp.int32), jnp.full(C, -1, jnp.int32),
+    ])
+    dif = dif.at[idx].add(val, mode="drop")
 
     lo4, hi4 = fm_ops.lf_range(fm, first, second)
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
@@ -99,7 +103,7 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
         stats[2],
         stats[3],
     )
-    return out, n_out, (diff_K, diff_R), stats
+    return out, n_out, (dif,), stats
 
 
 def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
@@ -108,33 +112,35 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     update_lcp_minima ebwt2InDel.cpp:357-391; next_nodes dna_bwt.hpp:381-404).
     chunk: (C,7).
     """
-    thr_K, thr_R, minima = flags
+    (nf,) = flags  # (n,) uint8 bit flags: 1=thr_K, 2=thr_R, 4=minima
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     depth = chunk[:, 6]
     last = chunk[:, 5]
-    dummy = jnp.int32(thr_K.shape[0])
+    dummy = jnp.int32(nf.shape[0])
     lcp_values = jnp.int32(0)
     n_min = jnp.int32(0)
 
+    # one bit-packed add-scatter for all border writes: every flagged
+    # position is written by exactly one (node, border) across the whole
+    # traversal (the border's LCP value is that unique node's depth), so
+    # add never collides on a bit
+    idxs = []
+    vals = []
     for j in range(1, 5):
         border = chunk[:, j]
         has_prev = border > chunk[:, j - 1]
         cond = valid & has_prev & (border != last)
         lcp_values = lcp_values + jnp.sum(cond.astype(jnp.int32))
-        thr_K = thr_K.at[jnp.where(cond & (depth >= K), border, dummy)].set(
-            1, mode="drop"
-        )
-        thr_R = thr_R.at[
-            jnp.where(cond & (depth >= k_right), border, dummy)
-        ].set(1, mode="drop")
+        v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
         if j >= 2:
             prev_size = border - chunk[:, j - 1]
             cond_m = valid & (prev_size >= 2) & (border < last - 1)
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
-            minima = minima.at[jnp.where(cond_m, border, dummy)].set(
-                1, mode="drop"
-            )
+            v = v + cond_m * 4
+        idxs.append(jnp.where(v > 0, border, dummy))
+        vals.append(v.astype(jnp.uint8))
+    nf = nf.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals), mode="drop")
 
     ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
     nch = fm_ops.node_num_children(ext)
@@ -143,7 +149,7 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3])
-    return out, n_out, (thr_K, thr_R, minima), stats
+    return out, n_out, (nf,), stats
 
 
 def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
@@ -152,29 +158,29 @@ def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     ebwt2InDel.cpp:394-425); children kept iff combined size >= 2
     (ebwt2InDel.cpp:452-472) — size-1 leaves recover in the node phase.
     """
-    diff_K, diff_R, diff_DA = flags
+    (dif,) = flags  # (3*(n+1),) i32: fields K-diff, R-diff, DA-diff
     C = chunk.shape[0]
+    stride = dif.shape[0] // 3
     valid = jnp.arange(C, dtype=jnp.int32) < count
     f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
     start1 = f1 + f2
     start2 = f2 + s1
     end = s1 + s2
-    dummy = jnp.int32(diff_K.shape[0])
+    dummy = jnp.int32(dif.shape[0])
 
-    diff_DA = (
-        diff_DA.at[jnp.where(valid, start2, dummy)].add(1, mode="drop")
-        .at[jnp.where(valid, end, dummy)].add(-1, mode="drop")
-    )
-    cond = valid & (depth >= K)
-    diff_K = (
-        diff_K.at[jnp.where(cond, start1 + 1, dummy)].add(1, mode="drop")
-        .at[jnp.where(cond, end, dummy)].add(-1, mode="drop")
-    )
-    cond = valid & (depth >= k_right)
-    diff_R = (
-        diff_R.at[jnp.where(cond, start1 + 1, dummy)].add(1, mode="drop")
-        .at[jnp.where(cond, end, dummy)].add(-1, mode="drop")
-    )
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    one = jnp.ones(C, jnp.int32)
+    idx = jnp.concatenate([
+        jnp.where(condK, start1 + 1, dummy),
+        jnp.where(condK, end, dummy),
+        jnp.where(condR, start1 + 1 + stride, dummy),
+        jnp.where(condR, end + stride, dummy),
+        jnp.where(valid, start2 + 2 * stride, dummy),
+        jnp.where(valid, end + 2 * stride, dummy),
+    ])
+    val = jnp.concatenate([one, -one, one, -one, one, -one])
+    dif = dif.at[idx].add(val, mode="drop")
 
     lo1, hi1 = fm_ops.lf_range(fm1, f1, s1)
     lo2, hi2 = fm_ops.lf_range(fm2, f2, s2)
@@ -190,7 +196,7 @@ def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
         stats[2],
         stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
     )
-    return out, n_out, (diff_K, diff_R, diff_DA), stats
+    return out, n_out, (dif,), stats
 
 
 def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
@@ -199,7 +205,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     (ebwt2InDel.cpp:792-802), pairwise Weiner extension keeping pairs with
     >= 2 union children (ebwt2InDel.cpp:529-553). chunk: (C,13).
     """
-    thr_K, thr_R, minima, da_set = flags
+    (nf,) = flags  # (n,) uint8 bits: 1=thr_K, 2=thr_R, 4=minima, 8=DA one
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     c1 = chunk[:, 0:6]
@@ -207,8 +213,13 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     depth = chunk[:, 12]
     merged = c1 + c2
     last = merged[:, 5]
-    dummy = jnp.int32(thr_K.shape[0])
+    dummy = jnp.int32(nf.shape[0])
 
+    idxs = []
+    vals = []
+    # find_leaves: a singleton merged position gets its DA bit from exactly
+    # one visited node pair (a deeper pair over the same singleton interval
+    # cannot have >= 2 union children), so the add never collides
     da_values = jnp.int32(0)
     for j in range(5):
         l1 = c1[:, j + 1] - c1[:, j]
@@ -216,9 +227,9 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
         cond = valid & ((l1 + l2) == 1)
         pos = c1[:, j] + c2[:, j]
         da_values = da_values + jnp.sum(cond.astype(jnp.int32))
-        da_set = da_set.at[jnp.where(cond & (l2 == 1), pos, dummy)].set(
-            1, mode="drop"
-        )
+        cond_da = cond & (l2 == 1)
+        idxs.append(jnp.where(cond_da, pos, dummy))
+        vals.append((cond_da * 8).astype(jnp.uint8))
 
     lcp_values = jnp.int32(0)
     n_min = jnp.int32(0)
@@ -227,19 +238,15 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
         has_prev = border > merged[:, j - 1]
         cond = valid & has_prev & (border != last)
         lcp_values = lcp_values + jnp.sum(cond.astype(jnp.int32))
-        thr_K = thr_K.at[jnp.where(cond & (depth >= K), border, dummy)].set(
-            1, mode="drop"
-        )
-        thr_R = thr_R.at[
-            jnp.where(cond & (depth >= k_right), border, dummy)
-        ].set(1, mode="drop")
+        v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
         if j >= 2:
             prev_size = border - merged[:, j - 1]
             cond_m = valid & (prev_size >= 2) & (border < last - 1)
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
-            minima = minima.at[jnp.where(cond_m, border, dummy)].set(
-                1, mode="drop"
-            )
+            v = v + cond_m * 4
+        idxs.append(jnp.where(v > 0, border, dummy))
+        vals.append(v.astype(jnp.uint8))
+    nf = nf.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals), mode="drop")
 
     ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
     ext2 = fm_ops.extend_node(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]])
@@ -254,7 +261,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3] + da_values)
-    return out, n_out, (thr_K, thr_R, minima, da_set), stats
+    return out, n_out, (nf,), stats
 
 
 # ---------------------------------------------------------------------------
@@ -349,20 +356,29 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
     ebwt2InDel.cpp:555-676): leaf phase then node phase, each a single
     compiled device program."""
     n = fm.n
-    diff_K = jnp.zeros(n + 1, dtype=jnp.int32)
-    diff_R = jnp.zeros(n + 1, dtype=jnp.int32)
-    thr_K = jnp.zeros(n, dtype=jnp.uint8)
-    thr_R = jnp.zeros(n, dtype=jnp.uint8)
-    minima = jnp.zeros(n, dtype=jnp.uint8)
+    dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
+    nf = jnp.zeros(n, dtype=jnp.uint8)
 
-    (diff_K, diff_R), st_l, maxp_l = _run_phase(
-        (fm,), fm.first_leaf()[None, :], (diff_K, diff_R), _leaf_body, n,
-        K, k_right,
+    import os
+    import time as _time
+
+    timing = os.environ.get("EBWT_TIMING")
+    t0 = _time.perf_counter()
+    (dif,), st_l, maxp_l = _run_phase(
+        (fm,), fm.first_leaf()[None, :], (dif,), _leaf_body, n, K, k_right,
     )
-    (thr_K, thr_R, minima), st_n, maxp_n = _run_phase(
-        (fm,), fm.root()[None, :], (thr_K, thr_R, minima), _node_body, n,
-        K, k_right,
+    if timing:
+        np.asarray(dif[:1])
+        print(f"[timing] leaf phase: {_time.perf_counter() - t0:.2f}s",
+              flush=True)
+        t0 = _time.perf_counter()
+    (nf,), st_n, maxp_n = _run_phase(
+        (fm,), fm.root()[None, :], (nf,), _node_body, n, K, k_right,
     )
+    if timing:
+        np.asarray(nf[:1])
+        print(f"[timing] node phase: {_time.perf_counter() - t0:.2f}s",
+              flush=True)
 
     stats = {
         "leaves": int(st_l[0]), "nodes": int(st_n[0]),
@@ -370,10 +386,14 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
         "n_min": int(st_n[2]),
         "max_pending": max(maxp_l, maxp_n),
     }
-    thr_K = thr_K | (jnp.cumsum(diff_K[:n]) > 0).astype(jnp.uint8)
-    thr_R = thr_R | (jnp.cumsum(diff_R[:n]) > 0).astype(jnp.uint8)
-    return TraversalResult(thr_K=thr_K, thr_R=thr_R, minima=minima, da=None,
-                           stats=stats)
+    fill_K = jnp.cumsum(dif[: n]) > 0
+    fill_R = jnp.cumsum(dif[n + 1 : 2 * n + 1]) > 0
+    thr_K = ((nf & 1) != 0) | fill_K
+    thr_R = ((nf & 2) != 0) | fill_R
+    minima = ((nf & 4) != 0).astype(jnp.uint8)
+    return TraversalResult(thr_K=thr_K.astype(jnp.uint8),
+                           thr_R=thr_R.astype(jnp.uint8), minima=minima,
+                           da=None, stats=stats)
 
 
 def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
@@ -381,28 +401,21 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
     """Lockstep navigation of two suffix trees simulating the merged
     collection (reference: navigate_two_bwts, ebwt2InDel.cpp:679-831)."""
     n = fm1.n + fm2.n
-    diff_K = jnp.zeros(n + 1, dtype=jnp.int32)
-    diff_R = jnp.zeros(n + 1, dtype=jnp.int32)
-    diff_DA = jnp.zeros(n + 1, dtype=jnp.int32)
-    thr_K = jnp.zeros(n, dtype=jnp.uint8)
-    thr_R = jnp.zeros(n, dtype=jnp.uint8)
-    minima = jnp.zeros(n, dtype=jnp.uint8)
-    da_set = jnp.zeros(n, dtype=jnp.uint8)
+    dif = jnp.zeros(3 * (n + 1), dtype=jnp.int32)
+    nf = jnp.zeros(n, dtype=jnp.uint8)
 
     l1 = fm1.first_leaf()
     l2 = fm2.first_leaf()
     start = np.array([[l1[0], l1[1], l2[0], l2[1], 0]], dtype=np.int32)
-    (diff_K, diff_R, diff_DA), st_l, maxp_l = _run_phase(
-        (fm1, fm2), start, (diff_K, diff_R, diff_DA), _leaf_pair_body, n,
-        K, k_right,
+    (dif,), st_l, maxp_l = _run_phase(
+        (fm1, fm2), start, (dif,), _leaf_pair_body, n, K, k_right,
     )
 
     r1 = fm1.root()
     r2 = fm2.root()
     start = np.concatenate([r1[:6], r2[:6], [0]]).astype(np.int32)[None, :]
-    (thr_K, thr_R, minima, da_set), st_n, maxp_n = _run_phase(
-        (fm1, fm2), start, (thr_K, thr_R, minima, da_set), _node_pair_body,
-        n, K, k_right,
+    (nf,), st_n, maxp_n = _run_phase(
+        (fm1, fm2), start, (nf,), _node_pair_body, n, K, k_right,
     )
 
     stats = {
@@ -412,8 +425,11 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
         "da_values": int(st_l[3]) + int(st_n[3]),
         "max_pending": max(maxp_l, maxp_n),
     }
-    thr_K = thr_K | (jnp.cumsum(diff_K[:n]) > 0).astype(jnp.uint8)
-    thr_R = thr_R | (jnp.cumsum(diff_R[:n]) > 0).astype(jnp.uint8)
-    da = da_set | (jnp.cumsum(diff_DA[:n]) > 0).astype(jnp.uint8)
-    return TraversalResult(thr_K=thr_K, thr_R=thr_R, minima=minima, da=da,
-                           stats=stats)
+    s0 = n + 1
+    thr_K = ((nf & 1) != 0) | (jnp.cumsum(dif[:n]) > 0)
+    thr_R = ((nf & 2) != 0) | (jnp.cumsum(dif[s0 : s0 + n]) > 0)
+    minima = ((nf & 4) != 0).astype(jnp.uint8)
+    da = ((nf & 8) != 0) | (jnp.cumsum(dif[2 * s0 : 2 * s0 + n]) > 0)
+    return TraversalResult(thr_K=thr_K.astype(jnp.uint8),
+                           thr_R=thr_R.astype(jnp.uint8), minima=minima,
+                           da=da.astype(jnp.uint8), stats=stats)
