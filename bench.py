@@ -25,7 +25,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(REPO, "data", "bench")
 REF_BIN = os.path.join(REPO, ".ref_build", "ebwt2InDel")
 
-GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 400_000))
+# E. coli scale by default — BASELINE.json config 1 (simulated 25x reads)
+GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 4_600_000))
 COVERAGE = float(os.environ.get("BENCH_COVERAGE", 25))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 100))
 

@@ -38,7 +38,10 @@ def cluster_mask(thr_K: np.ndarray, minima: np.ndarray) -> np.ndarray:
 
 
 def find_clusters(thr_K: np.ndarray, minima: np.ndarray, mcov_out: int) -> Clusters:
-    mask = cluster_mask(thr_K, minima)
+    return find_clusters_from_mask(cluster_mask(thr_K, minima), mcov_out)
+
+
+def find_clusters_from_mask(mask: np.ndarray, mcov_out: int) -> Clusters:
     n = mask.shape[0]
     if n == 0:
         return Clusters(

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import packing
+from ..ops import bits, packing
 from ..utils import dna
 from ..utils.config import Config
 from . import call, cluster, emit, emit_vec, traverse
@@ -107,11 +107,14 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    thr_K = np.asarray(res.thr_K)
-    thr_R = np.asarray(res.thr_R)
-    minima = np.asarray(res.minima)
+    # pack the cluster-open mask and right-context flags to bits on device:
+    # 8x less transfer than raw uint8 flag vectors
+    mask_p = bits.device_packbits((res.thr_K != 0) & (res.minima == 0))
+    thr_R_p = bits.device_packbits(res.thr_R)
+    mask = bits.host_unpackbits(np.asarray(mask_p), fm.n)
+    thr_R = bits.host_unpackbits(np.asarray(thr_R_p), fm.n)
     t3 = time.perf_counter()
-    cl = cluster.find_clusters(thr_K, minima, cfg.mcov_out)
+    cl = cluster.find_clusters_from_mask(mask, cfg.mcov_out)
     t4 = time.perf_counter()
     log(f"[timing] flag download {t3 - t2:.2f}s, cluster detect "
         f"{t4 - t3:.2f}s")

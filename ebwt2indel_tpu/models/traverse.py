@@ -33,9 +33,12 @@ import numpy as np
 from . import fm_index as fm_ops
 from .fm_index import FMIndex
 
-CHUNK = 64 * 1024  # nodes popped per queue step (large: amortizes gather
-# dispatch overhead — batched rank throughput rises ~5x from 16k to 512k
-# queries per dispatch on TPU v5e)
+import os as _os
+
+CHUNK = int(_os.environ.get("EBWT_CHUNK", 128 * 1024))
+# nodes popped per queue step: large chunks amortize per-op fixed costs
+# (scatter/compaction launches) — batched rank throughput on TPU v5e rises
+# ~5x from 16k to 512k queries per dispatch
 
 
 @dataclasses.dataclass

@@ -20,6 +20,42 @@ import numpy as np
 from ..utils import dna
 
 
+def _native_sais():
+    import ctypes
+    import os
+    import subprocess
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..",
+                     "native")
+    lib_path = os.path.join(d, "libsaca.so")
+    if not os.path.isfile(lib_path):
+        subprocess.run(["make", "-C", d, "libsaca.so"], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(lib_path)
+    lib.sais_int32.restype = ctypes.c_int64
+    lib.sais_int32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_int64, ctypes.c_int64]
+    return lib
+
+
+def suffix_array_sentinel(codes: np.ndarray) -> np.ndarray:
+    """Suffix array of an int sequence whose last element is the unique
+    smallest (0). Uses the native linear-time SA-IS (native/saca.cpp) when
+    available, falling back to numpy prefix doubling."""
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    n = len(codes)
+    try:
+        lib = _native_sais()
+        sa = np.empty(n, dtype=np.int32)
+        K = int(codes.max()) + 1
+        rc = lib.sais_int32(codes.ctypes.data, sa.ctypes.data, n, K)
+        if rc == 0:
+            return sa.astype(np.int64)
+    except Exception:
+        pass
+    return suffix_array(codes.astype(np.int64))
+
+
 def suffix_array(codes: np.ndarray) -> np.ndarray:
     """Prefix-doubling suffix array; codes must be small non-negative ints."""
     n = len(codes)
@@ -48,14 +84,30 @@ def ebwt_of_reads(reads: list[str], term: str = "#") -> str:
     F-column convention, dna_bwt.hpp:47-61).
     """
     text = term.join(reads) + term
-    n = len(text)
     raw = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
-    codes = np.zeros(n, dtype=np.int64)
-    for b, c in ((ord("A"), 1), (ord("C"), 2), (ord("G"), 3), (ord("T"), 4)):
-        codes[raw == b] = c
-    sa = suffix_array(codes)
-    prev = (sa - 1) % n
+    sa = _ebwt_sa(raw, ord(term))
+    prev = (sa - 1) % len(raw)
     return raw[prev].tobytes().decode("ascii")
+
+
+def _ebwt_sa(raw: np.ndarray, term: int) -> np.ndarray:
+    """Suffix array of the terminator-joined text with terminators distinct
+    (ordered by position) and smaller than the bases — ties between equal
+    truncated suffixes resolve by terminator position, so collection-1
+    suffixes precede collection-2 suffixes in a two-collection concatenation
+    (the merge convention of update_DA, ebwt2InDel.cpp:394-449)."""
+    n = len(raw)
+    is_term = raw == term
+    n_term = int(is_term.sum())
+    codes = np.zeros(n + 1, dtype=np.int32)
+    codes[:n][is_term] = np.arange(1, n_term + 1, dtype=np.int32)
+    base_off = n_term
+    for b, c in ((ord("A"), 1), (ord("C"), 2), (ord("G"), 3), (ord("T"), 4)):
+        codes[:n][raw == b] = base_off + c
+    # codes[n] = 0: unique smallest sentinel for SA-IS
+    sa = suffix_array_sentinel(codes)
+    assert sa[0] == n
+    return sa[1:]
 
 
 def ebwt_and_da_of_two(reads1: list[str], reads2: list[str],
@@ -69,20 +121,11 @@ def ebwt_and_da_of_two(reads1: list[str], reads2: list[str],
     text = t1 + t2
     n = len(text)
     raw = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
-    is_term = raw == ord(term)
-    n_term = int(is_term.sum())
-    # give each terminator a distinct code ordered by position — all smaller
-    # than the bases — so equal truncated suffixes sort by terminator
-    # position, putting collection-1 suffixes first (t1 precedes t2)
-    codes = np.zeros(n, dtype=np.int64)
-    codes[is_term] = np.arange(n_term)
-    base_code = {ord("A"): 0, ord("C"): 1, ord("G"): 2, ord("T"): 3}
-    for b, c in base_code.items():
-        codes[raw == b] = n_term + c
-    sa = suffix_array(codes)
+    sa = _ebwt_sa(raw, ord(term))
     prev = (sa - 1) % n
     bwt = raw[prev].tobytes().decode("ascii")
-    da = "".join("1" if p >= len(t1) else "0" for p in sa)
+    da_bits = (sa >= len(t1)).astype(np.uint8)
+    da = (da_bits + ord("0")).astype(np.uint8).tobytes().decode("ascii")
     return bwt, da
 
 

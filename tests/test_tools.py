@@ -173,3 +173,33 @@ def test_sort_vcf(rng, tmp_path):
     out = sort_vcf.sort_vcf_lines(lines)
     assert out == ["##header", "#CHROM\tPOS", "chr1\t20\tx", "chr1\t100\tx",
                    "chr2\t5\tx"]
+
+
+def test_sais_matches_prefix_doubling(rng):
+    from ebwt2indel_tpu.tools import ebwt as E
+
+    for trial in range(10):
+        n = int(rng.integers(2, 2000))
+        codes = rng.integers(1, int(rng.integers(2, 6)) + 1,
+                             size=n).astype(np.int32)
+        codes = np.concatenate([codes, [0]]).astype(np.int32)
+        lib = E._native_sais()
+        sa = np.empty(len(codes), dtype=np.int32)
+        rc = lib.sais_int32(codes.ctypes.data, sa.ctypes.data, len(codes),
+                            int(codes.max()) + 1)
+        assert rc == 0
+        exp = E.suffix_array(codes.astype(np.int64))
+        np.testing.assert_array_equal(sa, exp, err_msg=f"trial {trial} n={n}")
+
+
+def test_ebwt_builders_agree(rng):
+    from ebwt2indel_tpu.tools import ebwt as E
+
+    genome = "".join(rng.choice(list("ACGT"), size=300))
+    reads = [genome[i:i+40] for i in range(0, 250, 7)]
+    bwt = E.ebwt_of_reads(reads)
+    # invertibility sanity: same multiset of characters
+    assert sorted(bwt) == sorted("#".join(reads) + "#")
+    bwt2, da = E.ebwt_and_da_of_two(reads[:5], reads[5:])
+    assert len(bwt2) == len(da) == len(bwt)
+    assert da.count("0") == sum(len(r) + 1 for r in reads[:5])
