@@ -273,13 +273,16 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("K", "k_right"), donate_argnums=(3, 4, 5))
-def _node_wave(fm: FMIndex, nodes, count, thr_K, thr_R, minima, *, K, k_right):
-    out, n_out, (tk, tr, mn), st = _node_body(
-        fm, nodes, count, (thr_K, thr_R, minima),
+@partial(jax.jit, static_argnames=("K", "k_right"), donate_argnums=(3,))
+def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
+    """One internal-node chunk step over a bit-flag array (1=thr_K, 2=thr_R,
+    4=minima). The exposed single-dispatch 'forward step' of the flagship
+    compute path (used by __graft_entry__)."""
+    out, n_out, (nf,), st = _node_body(
+        fm, nodes, count, (node_flags,),
         (jnp.int32(0),) * 4, K=K, k_right=k_right
     )
-    return out, n_out, tk, tr, mn, st[1], st[2]
+    return out, n_out, nf, st[1], st[2]
 
 
 # ---------------------------------------------------------------------------
