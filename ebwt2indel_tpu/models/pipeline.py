@@ -228,11 +228,13 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    thr_K = np.asarray(res.thr_K)
-    thr_R = np.asarray(res.thr_R)
-    minima = np.asarray(res.minima)
-    da = np.asarray(res.da)
-    cl = cluster.find_clusters(thr_K, minima, cfg.mcov_out)
+    mask_p = bits.device_packbits((res.thr_K != 0) & (res.minima == 0))
+    thr_R_p = bits.device_packbits(res.thr_R)
+    da_p = bits.device_packbits(res.da)
+    mask = bits.host_unpackbits(np.asarray(mask_p), n)
+    thr_R = bits.host_unpackbits(np.asarray(thr_R_p), n)
+    da = bits.host_unpackbits(np.asarray(da_p), n)
+    cl = cluster.find_clusters_from_mask(mask, cfg.mcov_out)
 
     stats = _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg)
     stats.update(st)
@@ -393,10 +395,11 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     codes_da1 = np.where(da != 0, codes, np.uint8(dna.TERM_CODE))
     fm_da1 = FMIndex.from_packed(packing.pack_codes(codes_da1, cfg.term))
 
-    thr_K = np.asarray(res.thr_K)
-    thr_R = np.asarray(res.thr_R)
-    minima = np.asarray(res.minima)
-    cl = cluster.find_clusters(thr_K, minima, cfg.mcov_out)
+    mask_p = bits.device_packbits((res.thr_K != 0) & (res.minima == 0))
+    thr_R_p = bits.device_packbits(res.thr_R)
+    mask = bits.host_unpackbits(np.asarray(mask_p), fm.n)
+    thr_R = bits.host_unpackbits(np.asarray(thr_R_p), fm.n)
+    cl = cluster.find_clusters_from_mask(mask, cfg.mcov_out)
 
     stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg)
     stats.update(st)

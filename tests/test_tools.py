@@ -203,3 +203,27 @@ def test_ebwt_builders_agree(rng):
     bwt2, da = E.ebwt_and_da_of_two(reads[:5], reads[5:])
     assert len(bwt2) == len(da) == len(bwt)
     assert da.count("0") == sum(len(r) + 1 for r in reads[:5])
+
+
+def test_batch_distance_matches_reference(rng):
+    from ebwt2indel_tpu.models import emit, emit_vec
+
+    for max_gap in (0, 3, 10):
+        P, L = 200, 31
+        a = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(P, L))
+        b = a.copy()
+        # random perturbations incl. shifts (indel-like)
+        for i in range(P):
+            for _ in range(int(rng.integers(0, 4))):
+                b[i, int(rng.integers(0, L))] = rng.choice(
+                    np.frombuffer(b"ACGT", np.uint8))
+            if rng.random() < 0.4:
+                g = int(rng.integers(1, max_gap + 1)) if max_gap else 0
+                if g:
+                    b[i] = np.concatenate([b[i, g:], b[i, :g]])
+        D, G = emit_vec.batch_distance(a, b, max_gap)
+        for i in range(P):
+            sa = a[i].tobytes().decode()
+            sb = b[i].tobytes().decode()
+            d = emit.distance(sa, sb, max_gap)
+            assert (int(D[i]), int(G[i])) == d, (i, sa, sb, max_gap)
