@@ -126,6 +126,25 @@ def extract_dna_batch(fm: FMIndex, starts, active, *, k_right: int):
     return seq, length
 
 
+@jax.jit
+def next_set_table(thr_R_dev):
+    """next_set[i] = smallest j >= i with thr_R[j] set (n if none) — one
+    reverse cumulative-min scan on device. Replaces the host-side
+    flatnonzero+searchsorted for the right-context anchor search."""
+    n = thr_R_dev.shape[0]
+    idx = jnp.where(thr_R_dev != 0, jnp.arange(n, dtype=jnp.int32),
+                    jnp.int32(n))
+    return jax.lax.cummin(idx, reverse=True)
+
+
+def first_thr_position_device(next_set, begins_dev, ends_dev):
+    """Device variant of first_thr_position: returns (pos, found) device
+    arrays for the given cluster ranges."""
+    pos = next_set[begins_dev]
+    found = pos < ends_dev
+    return jnp.where(found, pos, 0), found
+
+
 def first_thr_position(thr_R: np.ndarray, begins: np.ndarray,
                        ends: np.ndarray):
     """For each cluster the first position i in [begin, end) with

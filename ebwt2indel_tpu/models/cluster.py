@@ -49,20 +49,22 @@ def find_clusters_from_mask(mask: np.ndarray, mcov_out: int) -> Clusters:
             n_clusters=0, clust_size_sum=0, n_closed=0,
             hist=np.zeros(MAX_CLUST_LEN + 1, np.int64),
         )
-    m = mask.astype(np.int8)
-    diff = np.diff(m)
-    starts = np.flatnonzero(diff == 1) + 1
-    stops = np.flatnonzero(diff == -1) + 1
+    m = mask.astype(bool)
+    edges = np.flatnonzero(m[1:] != m[:-1]) + 1
     if m[0]:
-        starts = np.concatenate([[0], starts])
+        starts = np.concatenate([[0], edges[1::2]])
+        stops = edges[0::2]
+    else:
+        starts = edges[0::2]
+        stops = edges[1::2]
     # a run reaching the end is never closed by the reference scan — drop it
-    if m[-1]:
-        starts = starts[: len(stops)]
+    starts = starts[: len(stops)]
     lens = stops - starts
 
-    hist = np.zeros(MAX_CLUST_LEN + 1, dtype=np.int64)
-    small = lens <= MAX_CLUST_LEN
-    np.add.at(hist, lens[small], lens[small])
+    small = lens[lens <= MAX_CLUST_LEN]
+    hist = np.bincount(small, weights=small,
+                       minlength=MAX_CLUST_LEN + 1).astype(np.int64)
+    hist = hist[: MAX_CLUST_LEN + 1]
 
     analyzed = lens >= 2 * mcov_out
     return Clusters(

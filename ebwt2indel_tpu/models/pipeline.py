@@ -107,19 +107,18 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    # pack the cluster-open mask and right-context flags to bits on device:
-    # 8x less transfer than raw uint8 flag vectors
+    # pack the cluster-open mask to bits on device: 8x less transfer than
+    # raw uint8 flags; the right-context anchor search stays on device
     mask_p = bits.device_packbits((res.thr_K != 0) & (res.minima == 0))
-    thr_R_p = bits.device_packbits(res.thr_R)
+    next_thr = call.next_set_table(res.thr_R)
     mask = bits.host_unpackbits(np.asarray(mask_p), fm.n)
-    thr_R = bits.host_unpackbits(np.asarray(thr_R_p), fm.n)
     t3 = time.perf_counter()
     cl = cluster.find_clusters_from_mask(mask, cfg.mcov_out)
     t4 = time.perf_counter()
     log(f"[timing] flag download {t3 - t2:.2f}s, cluster detect "
         f"{t4 - t3:.2f}s")
 
-    stats = _call_and_emit_single(fm, cl, thr_R, cfg)
+    stats = _call_and_emit_single(fm, cl, next_thr, cfg)
     log(f"[timing] call+emit {time.perf_counter() - t4:.2f}s")
     stats.update(st)
     stats["n_clusters"] = cl.n_clusters
@@ -140,7 +139,7 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
 
 
 def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
-                          thr_R: np.ndarray, cfg: Config) -> dict:
+                          next_thr, cfg: Config) -> dict:
     B = len(cl.begins)
     with open(cfg.output, "w") as out_f:
         writer = emit.SnpWriter(
@@ -154,41 +153,39 @@ def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
         begins = jnp.asarray(cl.begins, dtype=jnp.int32)
         ends = jnp.asarray(cl.ends, dtype=jnp.int32)
 
-        # cheap filter FIRST, walks only for survivors — the reference
-        # likewise rejects clusters on base counts before any context
-        # extraction (find_variants, ebwt2InDel.cpp:947-966); in practice
-        # >99% of analyzed clusters fail the >=2-frequent-chars test
-        quirk, _pure = call.range_counts(fm, begins, ends)
-        quirk = np.asarray(quirk)
-        tmark("counts")
-
-        freq = quirk >= cfg.mcov_out  # (B, 4), TERM->A quirk included
-        nfreq = freq.sum(axis=1)
-        passes = nfreq >= 2
+        # cheap filter FIRST, entirely on device; only a bitmask of
+        # survivors is downloaded — the reference likewise rejects clusters
+        # on base counts before any context extraction (find_variants,
+        # ebwt2InDel.cpp:947-966); >99% of analyzed clusters fail the
+        # >=2-frequent-chars test
+        quirk_d, _pure = call.range_counts(fm, begins, ends)
+        freq_d = quirk_d >= cfg.mcov_out  # TERM->A quirk included
+        nfreq_d = freq_d.sum(axis=1)
+        passes_d = nfreq_d >= 2
         if cfg.max_variants_per_position > 0:
-            passes &= nfreq <= cfg.max_variants_per_position
+            passes_d &= nfreq_d <= cfg.max_variants_per_position
+        passes = bits.host_unpackbits(
+            np.asarray(bits.device_packbits(passes_d)), B
+        ).astype(bool)
         sel = np.flatnonzero(passes)
         tmark("filter")
         if len(sel) == 0:
             return {"events": 0, "cluster_nr": 1}
 
-        sb = jnp.asarray(cl.begins[sel], dtype=jnp.int32)
-        se = jnp.asarray(cl.ends[sel], dtype=jnp.int32)
+        sel_d = jnp.asarray(sel, dtype=jnp.int32)
+        sb = begins[sel_d]
+        se = ends[sel_d]
+        freq = np.asarray(freq_d[sel_d])
         ctx, support, full = call.extract_consensus_batch(
             fm, sb, se, k_left=cfg.k_left
         )
-        jax.block_until_ready(ctx)
-        tmark("walk_consensus")
-        pos, found = call.first_thr_position(thr_R, cl.begins[sel],
-                                             cl.ends[sel])
-        tmark("walk_thrpos")
+        pos_d, found_d = call.first_thr_position_device(next_thr, sb, se)
         seq, seqlen = call.extract_dna_batch(
-            fm, jnp.asarray(pos, dtype=jnp.int32), jnp.asarray(found),
-            k_right=cfg.k_right,
+            fm, pos_d, found_d, k_right=cfg.k_right,
         )
-        jax.block_until_ready(seq)
-        tmark("walk_dna")
+        tmark("walks")
 
+        found = np.asarray(found_d)
         support = np.asarray(support)
         full = np.asarray(full)
         ctx_ascii = _decode_rows(np.asarray(ctx), cfg.term)
@@ -197,7 +194,7 @@ def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
         tmark("download")
 
         out = emit_vec.emit_single(
-            out_f, cfg, found, passes[sel], freq[sel], full, support,
+            out_f, cfg, found, passes[sel], freq, full, support,
             ctx_ascii, seq_ascii, seqlen,
         )
         tmark("emit")

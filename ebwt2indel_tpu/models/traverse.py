@@ -115,7 +115,9 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     update_lcp_minima ebwt2InDel.cpp:357-391; next_nodes dna_bwt.hpp:381-404).
     chunk: (C,7).
     """
-    (nf,) = flags  # (n,) uint8 bit flags: 1=thr_K, 2=thr_R, 4=minima
+    (nf,) = flags  # (n,) int32 bit flags: 1=thr_K, 2=thr_R, 4=minima
+    # (int32, not uint8: sub-word scatters lower to a full-array rewrite on
+    # TPU — word-sized scatter updates take the fast per-entry path)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     depth = chunk[:, 6]
@@ -142,7 +144,7 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
-        vals.append(v.astype(jnp.uint8))
+        vals.append(v)
     nf = nf.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals), mode="drop")
 
     ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
@@ -208,7 +210,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     (ebwt2InDel.cpp:792-802), pairwise Weiner extension keeping pairs with
     >= 2 union children (ebwt2InDel.cpp:529-553). chunk: (C,13).
     """
-    (nf,) = flags  # (n,) uint8 bits: 1=thr_K, 2=thr_R, 4=minima, 8=DA one
+    (nf,) = flags  # (n,) int32 bits: 1=thr_K, 2=thr_R, 4=minima, 8=DA one
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     c1 = chunk[:, 0:6]
@@ -232,7 +234,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
         da_values = da_values + jnp.sum(cond.astype(jnp.int32))
         cond_da = cond & (l2 == 1)
         idxs.append(jnp.where(cond_da, pos, dummy))
-        vals.append((cond_da * 8).astype(jnp.uint8))
+        vals.append(cond_da * 8)
 
     lcp_values = jnp.int32(0)
     n_min = jnp.int32(0)
@@ -248,7 +250,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
-        vals.append(v.astype(jnp.uint8))
+        vals.append(v)
     nf = nf.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals), mode="drop")
 
     ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
@@ -363,7 +365,7 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
     compiled device program."""
     n = fm.n
     dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
-    nf = jnp.zeros(n, dtype=jnp.uint8)
+    nf = jnp.zeros(n, dtype=jnp.int32)
 
     import os
     import time as _time
@@ -408,7 +410,7 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
     collection (reference: navigate_two_bwts, ebwt2InDel.cpp:679-831)."""
     n = fm1.n + fm2.n
     dif = jnp.zeros(3 * (n + 1), dtype=jnp.int32)
-    nf = jnp.zeros(n, dtype=jnp.uint8)
+    nf = jnp.zeros(n, dtype=jnp.int32)
 
     l1 = fm1.first_leaf()
     l2 = fm2.first_leaf()
