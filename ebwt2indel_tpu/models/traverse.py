@@ -312,6 +312,19 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
 
     def step(state):
         q, head, tail, overflow, flags, stats, maxp = state
+        # reclaim consumed queue space: when the next append could overrun
+        # the buffer, shift the pending region [head, tail) back to offset 0
+        # (amortized O(chunk) per step — triggered every ~cap/chunk steps)
+        need = (tail + 4 * chunk) > q.shape[0]
+        q = jax.lax.cond(
+            need, lambda a, h: jnp.roll(a, -h, axis=0),
+            lambda a, h: a, q, head
+        )
+        tail = jnp.where(need, tail - head, tail)
+        head = jnp.where(need, 0, head)
+        # true overflow: the pending region alone can't fit — restart bigger
+        overflow = (tail + 4 * chunk) > q.shape[0]
+
         count = jnp.minimum(tail - head, chunk)
         block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)), (chunk, w))
         children, n_out, flags, stats = body(
@@ -322,11 +335,11 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
         # fully overwritten by the next append (which starts at tail+n_out),
         # and head never crosses tail — so no pad row is ever processed.
         # A contiguous dynamic_update_slice keeps the queue update a block
-        # copy instead of a 4C-row scatter.
+        # copy instead of a 4C-row scatter. On overflow the write clobbers
+        # the clamped tail region, but the whole phase restarts anyway.
         q = jax.lax.dynamic_update_slice(q, children, (tail, jnp.int32(0)))
         head = head + count
         tail = tail + n_out
-        overflow = tail > queue_cap
         maxp = jnp.maximum(maxp, tail - head)
         return q, head, tail, overflow, flags, stats, maxp
 
@@ -347,7 +360,8 @@ def _run_phase(fms, init_np, flags, body, n_hint, K, k_right):
     diff arrays use +/-1 adds), so a retry restarts from the pristine input
     flags — which remain valid because _queue_phase does not donate them.
     """
-    queue_cap = max(1 << 20, n_hint // 4)
+    queue_cap = max(1 << 21, n_hint // 32)  # bounds *pending* nodes only —
+    # consumed queue space is reclaimed in-loop; doubles on real overflow
     while True:
         out_flags, stats, overflow, maxp = _queue_phase(
             fms, jnp.asarray(init_np.astype(np.int32)), flags,
