@@ -16,7 +16,10 @@ Parity notes (quirks preserved):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 MAX_CLUST_LEN = 200  # histogram cap (ebwt2InDel.cpp:1388)
@@ -24,8 +27,8 @@ MAX_CLUST_LEN = 200  # histogram cap (ebwt2InDel.cpp:1388)
 
 @dataclasses.dataclass
 class Clusters:
-    begins: np.ndarray  # (B,) int64 — cluster start (inclusive)
-    ends: np.ndarray  # (B,) int64 — cluster end (exclusive) == close position
+    begins: np.ndarray | jax.Array  # (B,) — cluster start (inclusive)
+    ends: np.ndarray | jax.Array  # (B,) — cluster end (exclusive)
     n_clusters: int  # number of analyzed clusters (len >= 2*mcov_out)
     clust_size_sum: int  # cumulative length over *all closed* clusters
     n_closed: int  # number of closed clusters (for average length: ref divides
@@ -74,4 +77,81 @@ def find_clusters_from_mask(mask: np.ndarray, mcov_out: int) -> Clusters:
         clust_size_sum=int(lens.sum()),
         n_closed=int(len(lens)),
         hist=hist,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side cluster detection — keeps begins/ends on device (no O(n) flag
+# transfer, no host scan); used by the mode-1 hot path
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _run_marks(thr_K_dev, minima_dev):
+    mask = (thr_K_dev != 0) & (minima_dev == 0)
+    prev = jnp.concatenate([jnp.zeros(1, bool), mask[:-1]])
+    nxt = jnp.concatenate([mask[1:], jnp.zeros(1, bool)])
+    is_start = mask & ~prev
+    end_at = (mask & ~nxt).at[-1].set(False)  # a run reaching n-1 never
+    # closes (reference scan quirk, ebwt2InDel.cpp:1609-1655)
+    return is_start, end_at, is_start.sum(dtype=jnp.int32), \
+        end_at.sum(dtype=jnp.int32)
+
+
+def _cap(n: int) -> int:
+    c = 1 << 12
+    while c < n:
+        c *= 2
+    return c
+
+
+@partial(jax.jit, static_argnames=("cap", "mcov_out"))
+def _extract_runs(is_start, end_at, n_ends, *, cap, mcov_out):
+    n = is_start.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def compact(m):
+        idx = jnp.cumsum(m.astype(jnp.int32)) - 1
+        safe = jnp.where(m, idx, cap)
+        return jnp.zeros(cap, jnp.int32).at[safe].set(pos, mode="drop")
+
+    starts = compact(is_start)
+    ends = compact(end_at) + 1
+    k = jnp.arange(cap, dtype=jnp.int32)
+    closed = k < n_ends  # drops the unclosed trailing start, if any
+    lens = jnp.where(closed, ends - starts, 0)
+
+    small = closed & (lens <= MAX_CLUST_LEN)
+    hist = jnp.zeros(MAX_CLUST_LEN + 1, jnp.int32).at[
+        jnp.where(small, lens, 0)
+    ].add(jnp.where(small, lens, 0))
+    clust_size_sum = lens.sum(dtype=jnp.int32)
+
+    analyzed = closed & (lens >= 2 * mcov_out)
+    aidx = jnp.cumsum(analyzed.astype(jnp.int32)) - 1
+    safe = jnp.where(analyzed, aidx, cap)
+    a_begins = jnp.zeros(cap, jnp.int32).at[safe].set(starts, mode="drop")
+    a_ends = jnp.zeros(cap, jnp.int32).at[safe].set(ends, mode="drop")
+    return (a_begins, a_ends, analyzed.sum(dtype=jnp.int32), hist,
+            clust_size_sum)
+
+
+def find_clusters_device(thr_K_dev, minima_dev, mcov_out: int) -> Clusters:
+    """Device-side equivalent of find_clusters: begins/ends stay on device
+    (trimmed to the analyzed count); only scalar stats and the histogram are
+    downloaded."""
+    is_start, end_at, n_starts, n_ends = _run_marks(thr_K_dev, minima_dev)
+    n_ends_i = int(n_ends)
+    cap = _cap(max(int(n_starts), 1))
+    a_begins, a_ends, n_analyzed, hist, size_sum = _extract_runs(
+        is_start, end_at, n_ends, cap=cap, mcov_out=mcov_out
+    )
+    n_analyzed_i = int(n_analyzed)
+    return Clusters(
+        begins=a_begins[:n_analyzed_i],
+        ends=a_ends[:n_analyzed_i],
+        n_clusters=n_analyzed_i,
+        clust_size_sum=int(size_sum),
+        n_closed=n_ends_i,
+        hist=np.asarray(hist),
     )

@@ -107,16 +107,12 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    # pack the cluster-open mask to bits on device: 8x less transfer than
-    # raw uint8 flags; the right-context anchor search stays on device
-    mask_p = bits.device_packbits((res.thr_K != 0) & (res.minima == 0))
+    # cluster detection and the right-context anchor table stay on device —
+    # no O(n) flag transfer at all in mode 1
     next_thr = call.next_set_table(res.thr_R)
-    mask = bits.host_unpackbits(np.asarray(mask_p), fm.n)
-    t3 = time.perf_counter()
-    cl = cluster.find_clusters_from_mask(mask, cfg.mcov_out)
+    cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
     t4 = time.perf_counter()
-    log(f"[timing] flag download {t3 - t2:.2f}s, cluster detect "
-        f"{t4 - t3:.2f}s")
+    log(f"[timing] cluster detect (device) {t4 - t2:.2f}s")
 
     stats = _call_and_emit_single(fm, cl, next_thr, cfg)
     log(f"[timing] call+emit {time.perf_counter() - t4:.2f}s")
