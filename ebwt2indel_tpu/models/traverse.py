@@ -54,11 +54,22 @@ class TraversalResult:
 
 
 def _compact(flat, keep):
-    """Dense-prefix compaction of kept rows; returns (buffer, count)."""
+    """Dense-prefix compaction of kept rows; returns (buffer, count).
+
+    Implemented as a 1-D index scatter followed by a row gather — a direct
+    row scatter runs at well under 1 GB/s on TPU, while scattering 4-byte
+    indices and gathering rows is several times faster. Rows at positions
+    >= count are garbage (copies of row 0), which is safe for the queue:
+    appended pad rows are overwritten by later appends before `head` can
+    reach them, and callers slice by the returned count.
+    """
+    m = flat.shape[0]
     idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    safe = jnp.where(keep, idx, flat.shape[0])
-    out = jnp.zeros_like(flat).at[safe].set(flat, mode="drop")
-    return out, keep.sum(dtype=jnp.int32)
+    safe = jnp.where(keep, idx, m)
+    perm = jnp.zeros(m, jnp.int32).at[safe].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop"
+    )
+    return flat[perm], keep.sum(dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
