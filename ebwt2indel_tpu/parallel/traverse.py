@@ -1,0 +1,182 @@
+"""Position-sharded wavefront traversal over a device mesh.
+
+Multi-chip execution of the mode-1 traversal (models/traverse.py): the packed
+index rows and the flag vectors are sharded over a 1-D 'pos' mesh; the work
+queue is replicated (it is tiny relative to the index) and every device runs
+the same deterministic queue schedule, so the only communication is one psum
+per chunk combining the per-shard rank answers.
+
+This is the simple psum formulation: each device decodes every query against
+its clamped local rows and zeroes non-owned answers, so VPU decode work is
+replicated while HBM gather traffic is sharded. The production multi-host
+design routes queries to their owning shard with an all_to_all instead
+(SURVEY.md §2.5); on a single slice the psum variant is bandwidth-equivalent
+for the gather, which is the scarce resource.
+
+Validated against the single-device traversal on a virtual CPU mesh
+(tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models import traverse as t1
+from ..ops import rank
+from ..ops.packing import PackedBwt
+from . import shard
+
+AXIS = shard.AXIS
+
+
+def _local_parallel_rank(blocks_local, rows_per_shard, i):
+    """Per-shard contribution to parallel_rank; combine with psum."""
+    sid = jax.lax.axis_index(AXIS)
+    base = sid * rows_per_shard
+    shape = i.shape
+    i = i.reshape(-1)
+    b = jax.lax.shift_right_logical(i, 7)
+    local = b - base
+    mine = (local >= 0) & (local < rows_per_shard)
+    safe = jnp.clip(local, 0, rows_per_shard - 1)
+    o = i & jnp.int32(127)
+    rowT = blocks_local[safe].T
+    p0, p1, p2 = rowT[0:4], rowT[4:8], rowT[8:12]
+    cnt = rowT[12:16].astype(jnp.int32)
+    w = jnp.arange(4, dtype=jnp.int32)[:, None]
+    take = jnp.clip(o[None, :] - w * 32, 0, 32)
+    sh = jnp.minimum(take, 31).astype(jnp.uint32)
+    mask = jnp.where(take == 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << sh) - jnp.uint32(1))
+    np2m = ~p2 & mask
+    t0 = p0 & np2m
+    tt1 = p1 & np2m
+    t2 = p0 & tt1
+    pc = jax.lax.population_count
+    S = pc(np2m).sum(axis=0, dtype=jnp.int32)
+    x = pc(t0).sum(axis=0, dtype=jnp.int32)
+    y = pc(tt1).sum(axis=0, dtype=jnp.int32)
+    z = pc(t2).sum(axis=0, dtype=jnp.int32)
+    out = jnp.stack(
+        [cnt[0] + (S - x - y + z), cnt[1] + (x - z), cnt[2] + (y - z),
+         cnt[3] + z], axis=-1)
+    out = jnp.where(mine.reshape(-1)[:, None], out, 0)
+    return out.reshape(shape + (4,))
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "rows_per_shard", "local_n", "queue_cap",
+                          "chunk", "K", "k_right"))
+def _sharded_node_phase(mesh, blocks, F, init, nf, *, rows_per_shard,
+                        local_n, queue_cap, chunk, K, k_right):
+    """Internal-node phase with sharded index + flags, replicated queue."""
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS, None), P(), P(), P(AXIS)),
+             out_specs=(P(AXIS), P(), P()),
+             check_vma=False)
+    def run(blocks_l, F_rep, init_rep, nf_l):
+        sid = jax.lax.axis_index(AXIS)
+        pos_base = sid * local_n
+        w = 7
+        q = jnp.zeros((queue_cap + 4 * chunk, w), dtype=jnp.int32)
+        q = jax.lax.dynamic_update_slice(q, init_rep, (0, 0))
+
+        def extend(nodes):
+            coords = nodes[:, :6]
+            ranks = jax.lax.psum(
+                _local_parallel_rank(blocks_l, rows_per_shard, coords), AXIS
+            )
+            ext = F_rep[:, None] + jnp.swapaxes(ranks, -1, -2)
+            depth = jnp.broadcast_to(nodes[:, 6:7, None] + 1,
+                                     ext.shape[:-1] + (1,))
+            return jnp.concatenate([ext, depth], axis=-1)
+
+        def cond(state):
+            _, head, tail, _, _ = state
+            return head < tail
+
+        def step(state):
+            q, head, tail, nf_l, stats = state
+            need = (tail + 4 * chunk) > q.shape[0]
+            q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
+                             lambda a, h: a, q, head)
+            tail = jnp.where(need, tail - head, tail)
+            head = jnp.where(need, 0, head)
+            count = jnp.minimum(tail - head, chunk)
+            block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)), (chunk, w))
+            valid = jnp.arange(chunk, dtype=jnp.int32) < count
+
+            depth = block[:, 6]
+            last = block[:, 5]
+            dummy = jnp.int32(2**30)
+            idxs, vals = [], []
+            lcp_values = jnp.int32(0)
+            n_min = jnp.int32(0)
+            for j in range(1, 5):
+                border = block[:, j]
+                has_prev = border > block[:, j - 1]
+                condb = valid & has_prev & (border != last)
+                lcp_values = lcp_values + condb.sum(dtype=jnp.int32)
+                v = ((condb & (depth >= K)) * 1
+                     + (condb & (depth >= k_right)) * 2)
+                if j >= 2:
+                    prev_size = border - block[:, j - 1]
+                    cond_m = valid & (prev_size >= 2) & (border < last - 1)
+                    n_min = n_min + cond_m.sum(dtype=jnp.int32)
+                    v = v + cond_m * 4
+                idxs.append(jnp.where(v > 0, border, dummy))
+                vals.append(v)
+            # local scatter of globally-indexed writes
+            gi = jnp.concatenate(idxs) - pos_base
+            gv = jnp.concatenate(vals)
+            safe = jnp.where((gi >= 0) & (gi < local_n), gi, local_n)
+            nf_l = nf_l.at[safe].add(gv, mode="drop")
+
+            ext = extend(block)
+            nch = jnp.sum(
+                (ext[..., 1:6] > ext[..., 0:5]).astype(jnp.int32), axis=-1
+            )
+            keep = (valid[:, None] & (nch >= 2)).reshape(-1)
+            out, n_out = t1._compact(ext.reshape(-1, w), keep)
+            q = jax.lax.dynamic_update_slice(q, out, (tail, jnp.int32(0)))
+            head = head + count
+            tail = tail + n_out
+            stats = (stats[0] + count, stats[1] + lcp_values,
+                     stats[2] + n_min)
+            return q, head, tail, nf_l, stats
+
+        stats0 = (jnp.int32(0),) * 3
+        state = (q, jnp.int32(0), jnp.int32(init_rep.shape[0]), nf_l, stats0)
+        q, head, tail, nf_l, stats = jax.lax.while_loop(cond, step, state)
+        return nf_l, jnp.stack(stats), tail
+
+    return run(blocks, F, init, nf)
+
+
+def navigate_nodes_sharded(pb: PackedBwt, mesh, K: int, k_right: int):
+    """Run the sharded internal-node phase; returns (thr_K, thr_R, minima)
+    as host arrays plus stats. Flags are reassembled from the sharded
+    bit-flag vector."""
+    n_dev = mesh.devices.size
+    blocks, block_counts, F, rows = shard.shard_packed(pb, mesh)
+    local_n = -(-pb.n // n_dev)
+    pad_n = local_n * n_dev
+    nf = jax.device_put(np.zeros(pad_n, np.int32),
+                        NamedSharding(mesh, P(AXIS)))
+    Fh = pb.F.astype(np.int32)
+    init = np.array([[0, Fh[0], Fh[1], Fh[2], Fh[3], pb.n, 0]], np.int32)
+    nf, stats, total = _sharded_node_phase(
+        mesh, blocks, jnp.asarray(F), jnp.asarray(init), nf,
+        rows_per_shard=rows, local_n=local_n,
+        queue_cap=max(1 << 18, pb.n // 32), chunk=4096, K=K, k_right=k_right,
+    )
+    nf_h = np.asarray(nf)[: pb.n]
+    return ((nf_h & 1) != 0).astype(np.uint8), \
+        ((nf_h & 2) != 0).astype(np.uint8), \
+        ((nf_h & 4) != 0).astype(np.uint8), np.asarray(stats)

