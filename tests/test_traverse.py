@@ -106,3 +106,32 @@ def test_navigate_two_bwts_matches_merged(rng):
     assert np.all(true_min[got_min == 1] == 1)
 
     assert res.stats["da_values"] == n
+
+
+def test_queue_roll_reclaim_matches_large_queue(rng):
+    """Force the in-loop queue-space reclamation (roll) path with a tiny
+    queue capacity and verify flags match a roomy-queue run."""
+    import jax.numpy as jnp
+
+    from ebwt2indel_tpu.models import traverse as T
+
+    genome = "".join(rng.choice(list("ACGT"), size=300))
+    reads = oracle.random_reads(rng, 30, 40, mutate_from=genome)
+    fm, codes = build_fm(reads)
+    n = fm.n
+    init = jnp.asarray(fm.root()[None, :].astype(np.int32))
+
+    def run(cap):
+        nf = jnp.zeros(n, jnp.int32)
+        (nf,), stats, overflow, maxp = T._queue_phase(
+            (fm,), init, (nf,), body=T._node_body, queue_cap=cap,
+            chunk=T.CHUNK, K=5, k_right=8,
+        )
+        assert not bool(overflow), cap
+        return np.asarray(nf), np.asarray(stats)
+
+    big_nf, big_stats = run(1 << 21)
+    # tiny capacity: total nodes far exceed it, so rolls must trigger
+    small_nf, small_stats = run(256)
+    np.testing.assert_array_equal(small_nf, big_nf)
+    np.testing.assert_array_equal(small_stats, big_stats)
