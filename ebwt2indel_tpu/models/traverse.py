@@ -35,7 +35,7 @@ from .fm_index import FMIndex
 
 import os as _os
 
-CHUNK = int(_os.environ.get("EBWT_CHUNK", 128 * 1024))
+CHUNK = int(_os.environ.get("EBWT_CHUNK", 256 * 1024))
 # nodes popped per queue step: large chunks amortize per-op fixed costs
 # (scatter/compaction launches) — batched rank throughput on TPU v5e rises
 # ~5x from 16k to 512k queries per dispatch
