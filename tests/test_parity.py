@@ -111,3 +111,38 @@ def test_mode3_byte_parity(tmp_path, rng):
 
     assert open(got_out, "rb").read() == open(ref_out, "rb").read()
     assert os.path.getsize(ref_out) > 0
+
+
+@needs_ref
+def test_mode1_fifty_x_with_rc_and_filter(tmp_path, rng):
+    """BASELINE config 2: mode 1 on 50x reads incl. reverse complements,
+    then filter_snp m=5 — both stages byte-identical to the reference."""
+    import io
+
+    from ebwt2indel_tpu.tools import filter_snp
+
+    genome = simulate.random_genome(rng, 4000)
+    hap2, _ = simulate.plant_variants(rng, genome, snp_rate=0.004,
+                                      indel_rate=0.001)
+    reads = simulate.sample_reads(rng, genome, 25, 80, revcomp=True) + \
+        simulate.sample_reads(rng, hap2, 25, 80, revcomp=True)
+    path = str(tmp_path / "reads50.ebwt")
+    open(path, "w").write(ebwt.ebwt_of_reads(reads))
+
+    ref_out = str(tmp_path / "ref.snp")
+    got_out = str(tmp_path / "got.snp")
+    run_reference(["-1", path, "-o", ref_out, "-m", "5"])
+    cfg = Config(input1=path, output=got_out, mcov_out=5)
+    pipeline.run_one_dataset(cfg, log=lambda *a, **k: None)
+    assert open(got_out, "rb").read() == open(ref_out, "rb").read()
+    assert os.path.getsize(ref_out) > 0
+
+    # filter stage parity
+    ref_filtered = subprocess.run(
+        [os.path.join(os.path.dirname(REF_BIN), "filter_snp"), ref_out, "5"],
+        capture_output=True, text=True,
+    ).stdout
+    buf = io.StringIO()
+    with open(got_out) as f:
+        filter_snp.filter_stream(f, 5, 0, buf)
+    assert buf.getvalue() == ref_filtered
