@@ -107,9 +107,12 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
 
     lo4, hi4 = fm_ops.lf_range(fm, first, second)
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
-    children = jnp.stack([lo4, hi4, child_depth], axis=-1).reshape(C * 4, 3)
-    keep = (valid[:, None] & ((hi4 - lo4) >= 2)).reshape(C * 4)
-    out, n_out = _compact(children, keep)
+    children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
+    keep = valid[:, None] & ((hi4 - lo4) >= 2)
+    out, n_out = _compact(
+        jnp.swapaxes(children, 0, 1).reshape(C * 4, 3),
+        jnp.swapaxes(keep, 0, 1).reshape(C * 4),
+    )
 
     stats = (
         stats[0] + count,  # leaves visited
@@ -160,8 +163,14 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
 
     ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
     nch = fm_ops.node_num_children(ext)
-    keep = (valid[:, None] & (nch >= 2)).reshape(C * 4)
-    out, n_out = _compact(ext.reshape(C * 4, 7), keep)
+    keep = valid[:, None] & (nch >= 2)
+    # char-major compaction: children extending by the same character live in
+    # the same F-region, so consecutive queue entries gather from nearby
+    # block rows (better HBM locality); ordering is free (writes order-free)
+    out, n_out = _compact(
+        jnp.swapaxes(ext, 0, 1).reshape(C * 4, 7),
+        jnp.swapaxes(keep, 0, 1).reshape(C * 4),
+    )
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3])
