@@ -221,15 +221,12 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    mask_p = bits.device_packbits((res.thr_K != 0) & (res.minima == 0))
-    thr_R_p = bits.device_packbits(res.thr_R)
+    next_thr = call.next_set_table(res.thr_R)
+    cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
     da_p = bits.device_packbits(res.da)
-    mask = bits.host_unpackbits(np.asarray(mask_p), n)
-    thr_R = bits.host_unpackbits(np.asarray(thr_R_p), n)
     da = bits.host_unpackbits(np.asarray(da_p), n)
-    cl = cluster.find_clusters_from_mask(mask, cfg.mcov_out)
 
-    stats = _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg)
+    stats = _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da, cfg)
     stats.update(st)
     stats["n_clusters"] = cl.n_clusters
 
@@ -244,7 +241,7 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     return stats
 
 
-def _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg) -> dict:
+def _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da, cfg) -> dict:
     B = len(cl.begins)
     with open(cfg.output, "w") as out_f:
         writer = emit.SnpWriter(
@@ -254,11 +251,13 @@ def _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg) -> dict:
         if B == 0:
             return {"events": writer.events, "cluster_nr": writer.cluster_nr}
 
-        da_cum = np.cumsum(da, dtype=np.int64)
-        b1 = _bv_rank1_at(da_cum, cl.begins)
-        e1 = _bv_rank1_at(da_cum, cl.ends)
-        b0 = cl.begins - b1
-        e0 = cl.ends - e1
+        da_cum = np.cumsum(da, dtype=np.int32)
+        begins_h = np.asarray(cl.begins).astype(np.int64)
+        ends_h = np.asarray(cl.ends).astype(np.int64)
+        b1 = _bv_rank1_at(da_cum, begins_h)
+        e1 = _bv_rank1_at(da_cum, ends_h)
+        b0 = begins_h - b1
+        e0 = ends_h - e1
 
         # cheap per-individual counts first; walks only for clusters passing
         # the both-covered filter (ebwt2InDel.cpp:870-880)
@@ -284,8 +283,12 @@ def _call_and_emit_pair_mode2(fm1, fm2, cl, thr_R, da, cfg) -> dict:
             fm2, *r2, k_left=cfg.k_left
         )
 
-        pos, found = call.first_thr_position(thr_R, cl.begins[sel],
-                                             cl.ends[sel])
+        pos_d, found_d = call.first_thr_position_device(
+            next_thr, jnp.asarray(cl.begins)[jnp.asarray(sel)],
+            jnp.asarray(cl.ends)[jnp.asarray(sel)],
+        )
+        pos = np.asarray(pos_d).astype(np.int64)
+        found = np.asarray(found_d)
         hit1 = _bv_rank1_at(da_cum, pos)
         hit0 = pos - hit1
         da_at = da[pos] != 0
@@ -388,13 +391,10 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     codes_da1 = np.where(da != 0, codes, np.uint8(dna.TERM_CODE))
     fm_da1 = FMIndex.from_packed(packing.pack_codes(codes_da1, cfg.term))
 
-    mask_p = bits.device_packbits((res.thr_K != 0) & (res.minima == 0))
-    thr_R_p = bits.device_packbits(res.thr_R)
-    mask = bits.host_unpackbits(np.asarray(mask_p), fm.n)
-    thr_R = bits.host_unpackbits(np.asarray(thr_R_p), fm.n)
-    cl = cluster.find_clusters_from_mask(mask, cfg.mcov_out)
+    next_thr = call.next_set_table(res.thr_R)
+    cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
 
-    stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg)
+    stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da, cfg)
     stats.update(st)
     stats["n_clusters"] = cl.n_clusters
 
@@ -415,7 +415,7 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     return stats
 
 
-def _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg) -> dict:
+def _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da, cfg) -> dict:
     B = len(cl.begins)
     with open(cfg.output, "w") as out_f:
         writer = emit.SnpWriter(
@@ -434,9 +434,11 @@ def _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg) -> dict:
         _, pure_1 = call.range_counts(fm_da1, begins, ends)
         pure_all = np.asarray(pure_all).astype(np.int64)
         pure_1 = np.asarray(pure_1).astype(np.int64)
-        da_cum = np.cumsum(da, dtype=np.int64)
-        len1 = _bv_rank1_at(da_cum, cl.ends) - _bv_rank1_at(da_cum, cl.begins)
-        len_all = cl.ends - cl.begins
+        da_cum = np.cumsum(da, dtype=np.int32)
+        begins_h = np.asarray(cl.begins).astype(np.int64)
+        ends_h = np.asarray(cl.ends).astype(np.int64)
+        len1 = _bv_rank1_at(da_cum, ends_h) - _bv_rank1_at(da_cum, begins_h)
+        len_all = ends_h - begins_h
         pure_0 = pure_all - pure_1
         quirk1 = pure_1.copy()
         quirk1[:, 0] += len1 - pure_1.sum(axis=1)
@@ -450,15 +452,16 @@ def _call_and_emit_pair_mode3(fm, fm_da1, cl, thr_R, da, cfg) -> dict:
 
         # both individuals' left contexts come from the merged BWT
         # (cpp:1057-1058) — supports are merged counts
+        sel_d = jnp.asarray(sel, jnp.int32)
+        sb = jnp.asarray(cl.begins)[sel_d]
+        se = jnp.asarray(cl.ends)[sel_d]
         ctx, support, full = call.extract_consensus_batch(
-            fm, jnp.asarray(cl.begins[sel], jnp.int32),
-            jnp.asarray(cl.ends[sel], jnp.int32), k_left=cfg.k_left
+            fm, sb, se, k_left=cfg.k_left
         )
-        pos, found = call.first_thr_position(thr_R, cl.begins[sel],
-                                             cl.ends[sel])
+        pos_d, found_d = call.first_thr_position_device(next_thr, sb, se)
+        found = np.asarray(found_d)
         seq, seqlen = call.extract_dna_batch(
-            fm, jnp.asarray(pos, jnp.int32), jnp.asarray(found),
-            k_right=cfg.k_right,
+            fm, pos_d, found_d, k_right=cfg.k_right,
         )
 
         ctx_ascii = _decode_rows(np.asarray(ctx), cfg.term)
