@@ -227,3 +227,48 @@ def test_batch_distance_matches_reference(rng):
             sb = b[i].tobytes().decode()
             d = emit.distance(sa, sb, max_gap)
             assert (int(D[i]), int(G[i])) == d, (i, sa, sb, max_gap)
+
+
+def test_snp_to_fastq(tmp_path):
+    from ebwt2indel_tpu.tools import snp2vcf
+
+    snp = tmp_path / "c.snp"
+    snp.write_text(">cluster:1_id:1_right:3_cov:5_type:_SNP_event:A/C\n"
+                   "ACGTACG\n>h2\nTTTT\n")
+    fq = tmp_path / "c.fastq"
+    snp2vcf.snp_to_fastq(str(snp), str(fq))
+    lines = fq.read_text().splitlines()
+    assert lines[0] == "@cluster:1_id:1_right:3_cov:5_type:_SNP_event:A/C"
+    assert lines[1] == "ACGTACG"
+    assert lines[2] == "+"
+    assert lines[3] == "h" * 7
+    assert lines[4] == "@h2"
+
+
+def test_pebwt2indel_driver(tmp_path, rng):
+    """Process-parallel sharded pipeline runs end to end and emits output."""
+    import subprocess
+    import sys
+
+    from ebwt2indel_tpu.tools import ebwt as E
+
+    genome = simulate.random_genome(rng, 8000)
+    hap2, _ = simulate.plant_variants(rng, genome, snp_rate=0.005,
+                                      indel_rate=0.0)
+    reads = simulate.sample_reads(rng, genome, 10, 80) + \
+        simulate.sample_reads(rng, hap2, 10, 80)
+    fa = tmp_path / "reads.fa"
+    E.write_fasta_reads(str(fa), reads)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, "-m", "ebwt2indel_tpu.tools.pebwt2indel",
+         str(fa), "2", "80", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = tmp_path / "out" / "variants.snp"
+    assert out.exists()
