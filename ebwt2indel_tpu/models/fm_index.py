@@ -55,6 +55,13 @@ class FMIndex:
 
     @staticmethod
     def from_file(path: str, term: int = ord("#")) -> "FMIndex":
+        import os
+
+        if os.environ.get("EBWT_INDEX_CACHE"):
+            # persist the packed index next to the input (mtime-keyed) —
+            # the checkpointable-artifact capability the reference has but
+            # never wires up (dna_bwt.hpp:238-289)
+            return FMIndex.from_packed(packing.pack_file_cached(path, term))
         return FMIndex.from_packed(packing.pack_file(path, term))
 
     # host-side constants -------------------------------------------------

@@ -108,3 +108,20 @@ def test_save_load_packed(tmp_path, rng):
     np.testing.assert_array_equal(pb.blocks, pb2.blocks)
     np.testing.assert_array_equal(pb.F, pb2.F)
     assert pb.n == pb2.n and pb.term == pb2.term
+
+
+def test_index_cache_roundtrip(tmp_path, rng, monkeypatch):
+    from ebwt2indel_tpu.models.fm_index import FMIndex
+    from ebwt2indel_tpu.utils import dna
+
+    codes = random_codes(rng, 3000)
+    path = str(tmp_path / "x.ebwt")
+    with open(path, "wb") as f:
+        f.write(dna.decode_table()[codes].tobytes())
+    monkeypatch.setenv("EBWT_INDEX_CACHE", "1")
+    fm1 = FMIndex.from_file(path)
+    assert (tmp_path / "x.ebwt.idx.npz").exists()
+    fm2 = FMIndex.from_file(path)  # loads from cache
+    np.testing.assert_array_equal(np.asarray(fm1.blocks),
+                                  np.asarray(fm2.blocks))
+    assert fm1.n == fm2.n
