@@ -140,3 +140,86 @@ def emit_single(out_f, cfg, found, passes, freq, full, support,
         cluster_nr += 1
     out_f.write("".join(chunks))
     return {"events": events, "cluster_nr": cluster_nr}
+
+
+def emit_pair(out_f, cfg, found, freq0, full0, freq1, full1,
+              support0, support1, ctx0_ascii, ctx1_ascii,
+              seq_ascii, seqlen) -> dict:
+    """Vectorized two-sample emission (to_file pair, ebwt2InDel.cpp:1146-1252)
+    over compacted clusters: the cross-product of frequent chars with
+    differing final characters, accepted iff the right context passes the
+    complexity filter, the alignment has <= max_snvs mismatches, and both
+    supports reach mcov_out. cluster_nr advances only for clusters with at
+    least one accepted pair."""
+    S = len(found)
+    mcov, max_snvs, max_gap, complexity = (
+        cfg.mcov_out, cfg.max_snvs, cfg.max_gap, cfg.complexity,
+    )
+    if S == 0:
+        return {"events": 0, "cluster_nr": 1}
+
+    combos = [(c0, c1) for c0 in range(4) for c1 in range(4) if c0 != c1]
+    cand0 = freq0 & full0  # (S,4)
+    cand1 = freq1 & full1
+    pair_ok = np.zeros((S, len(combos)), dtype=bool)
+    for k, (c0, c1) in enumerate(combos):
+        pair_ok[:, k] = cand0[:, c0] & cand1[:, c1]
+    pair_ok &= found[:, None]
+
+    run_fail = _has_run_vec(seq_ascii, seqlen, complexity)
+    sup_ok = np.zeros_like(pair_ok)
+    for k, (c0, c1) in enumerate(combos):
+        sup_ok[:, k] = (support0[:, c0] >= mcov) & (support1[:, c1] >= mcov)
+    pre = pair_ok & sup_ok & ~run_fail[:, None]
+
+    cl_idx, combo_idx = np.nonzero(pre)
+    if len(cl_idx) == 0:
+        # clusters may still have pairs that fail only the distance test —
+        # those do not write records and do not advance cluster_nr either
+        # only when no pair was written (found stays False)
+        return {"events": 0, "cluster_nr": 1}
+
+    c0s = np.array([combos[k][0] for k in combo_idx])
+    c1s = np.array([combos[k][1] for k in combo_idx])
+    a = ctx0_ascii[cl_idx, c0s]
+    b = ctx1_ascii[cl_idx, c1s]
+    D, G = batch_distance(a, b, max_gap)
+    accept = D <= max_snvs
+
+    events = 0
+    cluster_nr = 1
+    chunks: list[str] = []
+    # iterate only clusters that have candidate pairs, in position order
+    uniq, starts_u = np.unique(cl_idx, return_index=True)
+    bounds = np.append(starts_u, len(cl_idx))
+    for u in range(len(uniq)):
+        p, q = bounds[u], bounds[u + 1]
+        wrote = False
+        id_nr = 1
+        for t in range(p, q):
+            if not accept[t]:
+                continue
+            wrote = True
+            d = (int(D[t]), int(G[t]))
+            left0 = a[t].tobytes().decode("ascii")
+            left1 = b[t].tobytes().decode("ascii")
+            right = seq_ascii[cl_idx[t], : seqlen[cl_idx[t]]].tobytes() \
+                .decode("ascii")
+            typ = emit.event_type(left0, left1, max_gap, d)
+            dna0 = left0 if d[1] >= 0 else left0[-d[1]:]
+            dna1 = left1 if d[1] <= 0 else left1[d[1]:]
+            rlen = len(right)
+            chunks.append(
+                f">cluster:{cluster_nr}_id:{id_nr}_right:{rlen}"
+                f"_cov:{int(support0[cl_idx[t], c0s[t]])}_{typ}\n"
+                f"{dna0}{right}\n"
+                f">cluster:{cluster_nr}_id:{id_nr}_right:{rlen}"
+                f"_cov:{int(support1[cl_idx[t], c1s[t]])}_{typ}\n"
+                f"{dna1}{right}\n"
+            )
+            id_nr += 1
+            events += 1
+        if wrote:
+            cluster_nr += 1
+    out_f.write("".join(chunks))
+    return {"events": events, "cluster_nr": cluster_nr}

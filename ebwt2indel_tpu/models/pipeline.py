@@ -331,7 +331,10 @@ def _emit_pair_clusters(writer, cfg, B, found, quirk0, quirk1,
                         support0, support1, full0, full1,
                         ctx0_ascii, ctx1_ascii, seq_ascii, seqlen):
     """Shared two-sample emission: cross-product of frequent chars whose
-    final characters differ (ebwt2InDel.cpp:915-928, 1077-1091)."""
+    final characters differ (ebwt2InDel.cpp:915-928, 1077-1091); vectorized
+    in emit_vec.emit_pair. Note the c0 != c1 "final characters differ" test
+    (cpp:921) is exactly the candidate-pair enumeration there (contexts end
+    with their frequent character)."""
     freq0 = quirk0 >= cfg.mcov_out
     freq1 = quirk1 >= cfg.mcov_out
     n0 = freq0.sum(axis=1)
@@ -341,27 +344,12 @@ def _emit_pair_clusters(writer, cfg, B, found, quirk0, quirk1,
         q = cfg.max_variants_per_position
         passes &= (n0 <= q) & (n1 <= q)
 
-    for j in range(B):
-        variants: list[emit.VariantPair] = []
-        if passes[j] and found[j]:
-            right = _ctx_str(seq_ascii[j, : seqlen[j]])
-            for c0 in range(4):
-                if not (freq0[j, c0] and full0[j, c0]):
-                    continue
-                for c1 in range(4):
-                    if not (freq1[j, c1] and full1[j, c1]):
-                        continue
-                    if c0 != c1:  # final characters differ (cpp:921)
-                        variants.append(
-                            emit.VariantPair(
-                                left_context_0=_ctx_str(ctx0_ascii[j, c0]),
-                                left_context_1=_ctx_str(ctx1_ascii[j, c1]),
-                                right_context=right,
-                                support_0=int(support0[j, c0]),
-                                support_1=int(support1[j, c1]),
-                            )
-                        )
-        writer.write_pair_cluster(variants)
+    out = emit_vec.emit_pair(
+        writer.out, cfg, found & passes, freq0, full0, freq1, full1,
+        support0, support1, ctx0_ascii, ctx1_ascii, seq_ascii, seqlen,
+    )
+    writer.events += out["events"]
+    writer.cluster_nr = out["cluster_nr"]
 
 
 # ---------------------------------------------------------------------------
