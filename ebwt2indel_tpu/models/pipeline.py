@@ -324,7 +324,13 @@ def _pair_passes(quirk0, quirk1, cfg):
     if cfg.max_variants_per_position > 0:
         q = cfg.max_variants_per_position
         passes &= (n0 <= q) & (n1 <= q)
-    return passes
+    # a cluster can only emit pairs whose final characters differ (cpp:921);
+    # when both samples' frequent sets are the same singleton no such pair
+    # exists, the reference writes nothing and cluster_nr stays put — skip
+    # the context walks entirely (this is the overwhelmingly common case:
+    # non-variant positions covered by both samples)
+    same_single = (n0 == 1) & (n1 == 1) & ((freq0 & freq1).sum(axis=1) == 1)
+    return passes & ~same_single
 
 
 def _emit_pair_clusters(writer, cfg, B, found, quirk0, quirk1,
