@@ -180,3 +180,124 @@ def navigate_nodes_sharded(pb: PackedBwt, mesh, K: int, k_right: int):
     return ((nf_h & 1) != 0).astype(np.uint8), \
         ((nf_h & 2) != 0).astype(np.uint8), \
         ((nf_h & 4) != 0).astype(np.uint8), np.asarray(stats)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "rows_per_shard", "local_n", "queue_cap",
+                          "chunk", "K", "k_right"))
+def _sharded_leaf_phase(mesh, blocks, F, init, dif, *, rows_per_shard,
+                        local_n, queue_cap, chunk, K, k_right):
+    """Leaf phase with sharded index + diff fields, replicated queue.
+
+    dif is a (2, local_n*n_dev)-sharded int32 buffer: field 0 = K-diff,
+    field 1 = k_right-diff boundary deltas (models/traverse._leaf_body).
+    """
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS, None), P(), P(), P(None, AXIS)),
+             out_specs=(P(None, AXIS), P(), P()),
+             check_vma=False)
+    def run(blocks_l, F_rep, init_rep, dif_l):
+        sid = jax.lax.axis_index(AXIS)
+        pos_base = sid * local_n
+        w = 3
+        q = jnp.zeros((queue_cap + 4 * chunk, w), dtype=jnp.int32)
+        q = jax.lax.dynamic_update_slice(q, init_rep, (0, 0))
+
+        def cond(state):
+            _, head, tail, _, _ = state
+            return head < tail
+
+        def step(state):
+            q, head, tail, dif_l, stats = state
+            need = (tail + 4 * chunk) > q.shape[0]
+            q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
+                             lambda a, h: a, q, head)
+            tail = jnp.where(need, tail - head, tail)
+            head = jnp.where(need, 0, head)
+            count = jnp.minimum(tail - head, chunk)
+            block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)), (chunk, w))
+            valid = jnp.arange(chunk, dtype=jnp.int32) < count
+            first, second, depth = block[:, 0], block[:, 1], block[:, 2]
+
+            dummy = jnp.int32(2**30)
+            condK = valid & (depth >= K)
+            condR = valid & (depth >= k_right)
+            one = jnp.ones(chunk, jnp.int32)
+            fields = jnp.concatenate([
+                jnp.zeros(2 * chunk, jnp.int32),
+                jnp.ones(2 * chunk, jnp.int32),
+            ])
+            gi = jnp.concatenate([
+                jnp.where(condK, first + 1, dummy),
+                jnp.where(condK, second, dummy),
+                jnp.where(condR, first + 1, dummy),
+                jnp.where(condR, second, dummy),
+            ]) - pos_base
+            gv = jnp.concatenate([one, -one, one, -one])
+            mine = (gi >= 0) & (gi < local_n)
+            safe_pos = jnp.where(mine, gi, local_n)
+            flat_idx = fields * (local_n + 1) + safe_pos
+            dif_flat = jnp.concatenate(
+                [dif_l[0], jnp.zeros(1, jnp.int32),
+                 dif_l[1], jnp.zeros(1, jnp.int32)]
+            )
+            dif_flat = dif_flat.at[flat_idx].add(gv, mode="drop")
+            dif_l = jnp.stack([dif_flat[: local_n],
+                               dif_flat[local_n + 1: 2 * local_n + 1]])
+
+            ranks = jax.lax.psum(
+                _local_parallel_rank(blocks_l, rows_per_shard,
+                                     jnp.stack([first, second], -1)), AXIS
+            )  # (chunk, 2, 4)
+            lo4 = F_rep + ranks[:, 0]
+            hi4 = F_rep + ranks[:, 1]
+            child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
+            children = jnp.stack([lo4, hi4, child_depth], axis=-1)
+            keep = (valid[:, None] & ((hi4 - lo4) >= 2))
+            out, n_out = t1._compact(
+                jnp.swapaxes(children, 0, 1).reshape(chunk * 4, w),
+                jnp.swapaxes(keep, 0, 1).reshape(chunk * 4),
+            )
+            q = jax.lax.dynamic_update_slice(q, out, (tail, jnp.int32(0)))
+            head = head + count
+            tail = tail + n_out
+            stats = (stats[0] + count,
+                     stats[1] + jnp.sum(jnp.where(valid, second - first - 1,
+                                                  0)),
+                     stats[2])
+            return q, head, tail, dif_l, stats
+
+        stats0 = (jnp.int32(0),) * 3
+        state = (q, jnp.int32(0), jnp.int32(init_rep.shape[0]), dif_l, stats0)
+        q, head, tail, dif_l, stats = jax.lax.while_loop(cond, step, state)
+        return dif_l, jnp.stack(stats), tail
+
+    return run(blocks, F, init, dif)
+
+
+def navigate_one_bwt_sharded(pb: PackedBwt, mesh, K: int, k_right: int):
+    """Full sharded mode-1 navigation (leaf + node phases); returns host
+    (thr_K, thr_R, minima) equivalent to models.traverse.navigate_one_bwt."""
+    n_dev = mesh.devices.size
+    blocks, block_counts, F, rows = shard.shard_packed(pb, mesh)
+    local_n = -(-(pb.n + 2) // n_dev)  # room for deltas at n and n+1
+    pad_n = local_n * n_dev
+
+    Fh = pb.F.astype(np.int32)
+    dif = jax.device_put(np.zeros((2, pad_n), np.int32),
+                         NamedSharding(mesh, P(None, AXIS)))
+    init = np.array([[0, Fh[0], 0]], np.int32)
+    dif, st_l, _ = _sharded_leaf_phase(
+        mesh, blocks, jnp.asarray(F), jnp.asarray(init), dif,
+        rows_per_shard=rows, local_n=local_n,
+        queue_cap=max(1 << 18, pb.n // 32), chunk=4096, K=K, k_right=k_right,
+    )
+    dif_h = np.asarray(dif)
+    fill_K = np.cumsum(dif_h[0][: pb.n]) > 0
+    fill_R = np.cumsum(dif_h[1][: pb.n]) > 0
+
+    thr_K, thr_R, minima, st_n = navigate_nodes_sharded(pb, mesh, K, k_right)
+    thr_K = (thr_K | fill_K).astype(np.uint8)
+    thr_R = (thr_R | fill_R).astype(np.uint8)
+    return thr_K, thr_R, minima, (st_l, st_n)

@@ -113,3 +113,30 @@ def test_sharded_node_phase_matches_single_device(rng):
     full_K = np.asarray(res.thr_K)
     assert np.all(full_K[thr_K == 1] == 1)
     assert stats[0] > 0
+
+
+def test_sharded_full_navigation_matches_single_device(rng):
+    """Sharded leaf+node phases must reproduce the single-device
+    navigate_one_bwt flags exactly."""
+    from ebwt2indel_tpu.models import fm_index, traverse
+    from ebwt2indel_tpu.ops import packing
+    from ebwt2indel_tpu.parallel import traverse as ptrav
+    from ebwt2indel_tpu.tools import ebwt as ebwt_tool
+    from ebwt2indel_tpu.utils import dna
+
+    genome = "".join(rng.choice(list("ACGT"), size=500))
+    reads = [genome[i:i + 60] for i in range(0, 430, 4)]
+    bwt = ebwt_tool.ebwt_of_reads(reads)
+    pb = packing.pack_codes(dna.str_to_codes(bwt))
+    K, k_right = 7, 11
+
+    mesh = shard.make_mesh(8)
+    thr_K, thr_R, minima, _ = ptrav.navigate_one_bwt_sharded(
+        pb, mesh, K, k_right
+    )
+
+    fm = fm_index.FMIndex.from_packed(pb)
+    res = traverse.navigate_one_bwt(fm, K, k_right)
+    np.testing.assert_array_equal(thr_K, np.asarray(res.thr_K))
+    np.testing.assert_array_equal(thr_R, np.asarray(res.thr_R))
+    np.testing.assert_array_equal(minima, np.asarray(res.minima))
