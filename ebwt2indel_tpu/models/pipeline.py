@@ -29,6 +29,30 @@ def _log(msg: str, file=None):
     print(msg, file=file or sys.stdout, flush=True)
 
 
+def _maybe_profile():
+    """jax.profiler trace capture for a whole run when EBWT_PROFILE=<dir> is
+    set (SURVEY.md §5 observability plan; view with TensorBoard or Perfetto).
+    """
+    import contextlib
+    import os
+
+    trace_dir = os.environ.get("EBWT_PROFILE")
+    if not trace_dir:
+        return contextlib.nullcontext()
+    return jax.profiler.trace(trace_dir)
+
+
+def _profiled(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with _maybe_profile():
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _timing_marker():
     """Sub-phase timing printed when EBWT_TIMING=1 (diagnostics only)."""
     import os
@@ -84,6 +108,7 @@ def _bv_rank1_at(da_cum: np.ndarray, pos: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@_profiled
 def run_one_dataset(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
     t0 = time.perf_counter()
@@ -202,6 +227,7 @@ def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
 # ---------------------------------------------------------------------------
 
 
+@_profiled
 def run_two_datasets(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWTs ... ")
@@ -363,6 +389,7 @@ def _emit_pair_clusters(writer, cfg, B, found, quirk0, quirk1,
 # ---------------------------------------------------------------------------
 
 
+@_profiled
 def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWT ... ")

@@ -123,61 +123,7 @@ def sharded_cluster_scan(mesh: Mesh):
     return _scan
 
 
-def sharded_wave_step(mesh: Mesh, rows_per_shard: int, n: int):
-    """One full sharded pipeline step — the multi-chip 'training step':
-
-    batched Weiner-link extension of a (replicated) node frontier against the
-    position-sharded index (6 sharded rank queries + psum), child filtering,
-    and scatter of LCP-threshold flags into the position-sharded flag vector.
-
-    Frontier stays replicated (it is tiny vs the index); the index, flag
-    vectors, and all O(n) state are sharded. Returns (children, n_children,
-    thr_local_updated).
-    """
-    ranker = sharded_parallel_rank(mesh, rows_per_shard)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(AXIS), P()),
-        out_specs=P(AXIS),
-        check_vma=False,
-    )
-    def _scatter_flags(thr_local, positions):
-        shard = jax.lax.axis_index(AXIS)
-        local_n = thr_local.shape[0]
-        base = shard * local_n
-        loc = positions - base
-        mine = (loc >= 0) & (loc < local_n)
-        safe = jnp.where(mine, loc, local_n)
-        return thr_local.at[safe].set(1, mode="drop")
-
-    def step(blocks, F, nodes, count, thr_sharded, K):
-        valid = jnp.arange(nodes.shape[0], dtype=jnp.int32) < count
-        coords = nodes[:, :6]
-        ranks = ranker(blocks, coords)  # (N, 6, 4) via sharded answers
-        ext = F[:, None] + jnp.swapaxes(ranks, -1, -2)  # (N, 4, 6)
-        depth = jnp.broadcast_to(nodes[:, 6:7, None] + 1,
-                                 ext.shape[:-1] + (1,))
-        children = jnp.concatenate([ext, depth], axis=-1)
-        nch = jnp.sum(
-            (children[..., 1:6] > children[..., 0:5]).astype(jnp.int32),
-            axis=-1,
-        )
-        keep = valid[:, None] & (nch >= 2)
-        flat = children.reshape(-1, 7)
-        keepf = keep.reshape(-1)
-        idx = jnp.cumsum(keepf.astype(jnp.int32)) - 1
-        out = jnp.zeros_like(flat).at[
-            jnp.where(keepf, idx, flat.shape[0])
-        ].set(flat, mode="drop")
-
-        # flag writes: borders with a preceding child, depth >= K
-        border = nodes[:, 2:5]
-        has_prev = border > nodes[:, 1:4]
-        cond = valid[:, None] & has_prev & (nodes[:, 6:7] >= K)
-        pos = jnp.where(cond, border, n).reshape(-1)
-        thr_sharded = _scatter_flags(thr_sharded, pos)
-        return out, keepf.sum(dtype=jnp.int32), thr_sharded
-
-    return step
+# NOTE: an earlier `sharded_wave_step` demo (a simplified duplicate of
+# models/traverse._node_body) was removed — the production sharded traversal
+# lives in parallel/traverse.py and is tested for exact flag parity against
+# the single-device path (tests/test_parallel.py).

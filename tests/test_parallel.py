@@ -43,42 +43,6 @@ def test_sharded_cluster_scan(rng):
     assert int(n_in) == int(mask.sum())
 
 
-def test_sharded_wave_step(rng):
-    mesh = shard.make_mesh(8)
-    codes = random_codes(rng, 20000)
-    pb = packing.pack_codes(codes)
-    blocks, bcounts, F, rows = shard.shard_packed(pb, mesh)
-    n = pb.n
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    pad_n = ((n + 7) // 8) * 8
-    thr = jax.device_put(np.zeros(pad_n, np.uint8),
-                         NamedSharding(mesh, P(shard.AXIS)))
-    step = shard.sharded_wave_step(mesh, rows, pad_n)
-
-    Fh = pb.F.astype(np.int32)
-    root = np.array(
-        [[0, Fh[0], Fh[1], Fh[2], Fh[3], n, 0]], dtype=np.int32
-    )
-    nodes = np.zeros((64, 7), dtype=np.int32)
-    nodes[0] = root
-    out, n_out, thr = jax.jit(step, static_argnames=())(
-        blocks, F, jnp.asarray(nodes), jnp.int32(1), thr, jnp.int32(0)
-    )
-    # the root extends to at least one right-maximal node on random DNA
-    assert int(n_out) >= 1
-    out = np.asarray(out)[: int(n_out)]
-    # children returned by the sharded step must match the local extension
-    from ebwt2indel_tpu.models import fm_index as fm_ops
-    from ebwt2indel_tpu.models.fm_index import FMIndex
-
-    fm = FMIndex.from_packed(pb)
-    ext = np.asarray(fm_ops.extend_node(fm, jnp.asarray(root)))[0]
-    nch = np.asarray(fm_ops.node_num_children(jnp.asarray(ext)))
-    exp = ext[nch >= 2]
-    np.testing.assert_array_equal(out, exp)
-
-
 def test_sharded_node_phase_matches_single_device(rng):
     """The full sharded internal-node traversal must produce the same
     LCP-threshold and minima flags as the single-device queue traversal."""
