@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import bits, packing
+from ..ops import bits, packing, rank
 from ..utils import dna
 from ..utils.config import Config
 from . import call, cluster, emit, emit_vec, traverse
@@ -92,15 +92,6 @@ def _decode_rows(codes: np.ndarray, term: int):
 
 def _ctx_str(ascii_arr: np.ndarray) -> str:
     return ascii_arr.tobytes().decode("ascii")
-
-
-def _bv_rank1_at(da_cum: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    """#ones before each position, from an inclusive cumsum of the DA."""
-    pos = np.asarray(pos, dtype=np.int64)
-    out = np.zeros(len(pos), dtype=np.int64)
-    nz = pos > 0
-    out[nz] = da_cum[pos[nz] - 1]
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -249,10 +240,11 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
 
     next_thr = call.next_set_table(res.thr_R)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
-    da_p = bits.device_packbits(res.da)
-    da = bits.host_unpackbits(np.asarray(da_p), n)
+    # DA stays on device as a rank-ready packed bitvector — no O(n) host
+    # transfer (the reference scans its vector<bool> DA, cpp:1431-1432)
+    da_bv = bits.bv_build(res.da)
 
-    stats = _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da, cfg)
+    stats = _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da_bv, cfg)
     stats.update(st)
     stats["n_clusters"] = cl.n_clusters
 
@@ -267,7 +259,7 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     return stats
 
 
-def _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da, cfg) -> dict:
+def _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da_bv, cfg) -> dict:
     B = len(cl.begins)
     with open(cfg.output, "w") as out_f:
         writer = emit.SnpWriter(
@@ -277,61 +269,57 @@ def _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da, cfg) -> dict:
         if B == 0:
             return {"events": writer.events, "cluster_nr": writer.cluster_nr}
 
-        da_cum = np.cumsum(da, dtype=np.int32)
-        begins_h = np.asarray(cl.begins).astype(np.int64)
-        ends_h = np.asarray(cl.ends).astype(np.int64)
-        b1 = _bv_rank1_at(da_cum, begins_h)
-        e1 = _bv_rank1_at(da_cum, ends_h)
-        b0 = begins_h - b1
-        e0 = ends_h - e1
+        da_words, da_counts = da_bv
+        begins = jnp.asarray(cl.begins, jnp.int32)
+        ends = jnp.asarray(cl.ends, jnp.int32)
+        # per-BWT sub-ranges via device DA rank (the reference advances
+        # i0/i1 sequentially per position, cpp:1431-1432)
+        b1 = rank.bv_rank1(da_words, da_counts, begins)
+        e1 = rank.bv_rank1(da_words, da_counts, ends)
+        b0 = begins - b1
+        e0 = ends - e1
 
         # cheap per-individual counts first; walks only for clusters passing
-        # the both-covered filter (ebwt2InDel.cpp:870-880)
-        quirk0, _ = call.range_counts(
-            fm1, jnp.asarray(b0, jnp.int32), jnp.asarray(e0, jnp.int32)
-        )
-        quirk1, _ = call.range_counts(
-            fm2, jnp.asarray(b1, jnp.int32), jnp.asarray(e1, jnp.int32)
-        )
-        quirk0 = np.asarray(quirk0)
-        quirk1 = np.asarray(quirk1)
-        passes = _pair_passes(quirk0, quirk1, cfg)
+        # the both-covered filter (ebwt2InDel.cpp:870-880); only a bitmask
+        # of survivors is downloaded
+        quirk0_d, _ = call.range_counts(fm1, b0, e0)
+        quirk1_d, _ = call.range_counts(fm2, b1, e1)
+        passes_d = _pair_passes(quirk0_d, quirk1_d, cfg)
+        passes = bits.host_unpackbits(
+            np.asarray(bits.device_packbits(passes_d)), B
+        ).astype(bool)
         sel = np.flatnonzero(passes)
         if len(sel) == 0:
             return {"events": writer.events, "cluster_nr": writer.cluster_nr}
 
-        r1 = (jnp.asarray(b0[sel], jnp.int32), jnp.asarray(e0[sel], jnp.int32))
-        r2 = (jnp.asarray(b1[sel], jnp.int32), jnp.asarray(e1[sel], jnp.int32))
+        sel_d = jnp.asarray(sel, jnp.int32)
         ctx0, support0, full0 = call.extract_consensus_batch(
-            fm1, *r1, k_left=cfg.k_left
+            fm1, b0[sel_d], e0[sel_d], k_left=cfg.k_left
         )
         ctx1, support1, full1 = call.extract_consensus_batch(
-            fm2, *r2, k_left=cfg.k_left
+            fm2, b1[sel_d], e1[sel_d], k_left=cfg.k_left
         )
 
         pos_d, found_d = call.first_thr_position_device(
-            next_thr, jnp.asarray(cl.begins)[jnp.asarray(sel)],
-            jnp.asarray(cl.ends)[jnp.asarray(sel)],
+            next_thr, begins[sel_d], ends[sel_d]
         )
-        pos = np.asarray(pos_d).astype(np.int64)
-        found = np.asarray(found_d)
-        hit1 = _bv_rank1_at(da_cum, pos)
-        hit0 = pos - hit1
-        da_at = da[pos] != 0
+        hit1 = rank.bv_rank1(da_words, da_counts, pos_d)
+        hit0 = pos_d - hit1
+        da_at_d = rank.bv_get(da_words, pos_d) != 0
         seq_a, len_a = call.extract_dna_batch(
-            fm1, jnp.asarray(hit0, jnp.int32),
-            jnp.asarray(found & ~da_at), k_right=cfg.k_right,
+            fm1, hit0, found_d & ~da_at_d, k_right=cfg.k_right,
         )
         seq_b, len_b = call.extract_dna_batch(
-            fm2, jnp.asarray(hit1, jnp.int32),
-            jnp.asarray(found & da_at), k_right=cfg.k_right,
+            fm2, hit1, found_d & da_at_d, k_right=cfg.k_right,
         )
+        da_at = np.asarray(da_at_d)
+        found = np.asarray(found_d)
         seq = np.where(da_at[:, None], np.asarray(seq_b), np.asarray(seq_a))
         seqlen = np.where(da_at, np.asarray(len_b), np.asarray(len_a))
 
         _emit_pair_clusters(
             writer, cfg, len(sel), found,
-            quirk0[sel], quirk1[sel],
+            np.asarray(quirk0_d[sel_d]), np.asarray(quirk1_d[sel_d]),
             np.asarray(support0), np.asarray(support1),
             np.asarray(full0), np.asarray(full1),
             _decode_rows(np.asarray(ctx0), cfg.term),
@@ -411,11 +399,15 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     # per-individual counts come from two rank diffs (SURVEY.md §7 layer 5)
     codes_da1 = np.where(da != 0, codes, np.uint8(dna.TERM_CODE))
     fm_da1 = FMIndex.from_packed(packing.pack_codes(codes_da1, cfg.term))
+    # upload the DA as the packed rank-1 structure (n/8 + n/32 bytes)
+    # instead of n raw bytes — no O(n) transfer, no host cumsum
+    w_h, c_h = packing.pack_bitvector(da)
+    da_bv = (jnp.asarray(w_h), jnp.asarray(c_h))
 
     next_thr = call.next_set_table(res.thr_R)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
 
-    stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da, cfg)
+    stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da_bv, cfg)
     stats.update(st)
     stats["n_clusters"] = cl.n_clusters
 
@@ -436,7 +428,7 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     return stats
 
 
-def _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da, cfg) -> dict:
+def _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da_bv, cfg) -> dict:
     B = len(cl.begins)
     with open(cfg.output, "w") as out_f:
         writer = emit.SnpWriter(
@@ -446,27 +438,26 @@ def _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da, cfg) -> dict:
         if B == 0:
             return {"events": writer.events, "cluster_nr": writer.cluster_nr}
 
+        da_words, da_counts = da_bv
         begins = jnp.asarray(cl.begins, jnp.int32)
         ends = jnp.asarray(cl.ends, jnp.int32)
 
         # per-individual counts with the TERM->A quirk applied per side
-        # (find_variants DA overload, ebwt2InDel.cpp:1013-1030)
+        # (find_variants DA overload, ebwt2InDel.cpp:1013-1030) — all on
+        # device; only the survivor bitmask is downloaded
         _, pure_all = call.range_counts(fm, begins, ends)
         _, pure_1 = call.range_counts(fm_da1, begins, ends)
-        pure_all = np.asarray(pure_all).astype(np.int64)
-        pure_1 = np.asarray(pure_1).astype(np.int64)
-        da_cum = np.cumsum(da, dtype=np.int32)
-        begins_h = np.asarray(cl.begins).astype(np.int64)
-        ends_h = np.asarray(cl.ends).astype(np.int64)
-        len1 = _bv_rank1_at(da_cum, ends_h) - _bv_rank1_at(da_cum, begins_h)
-        len_all = ends_h - begins_h
+        len1 = (rank.bv_rank1(da_words, da_counts, ends)
+                - rank.bv_rank1(da_words, da_counts, begins))
+        len_all = ends - begins
         pure_0 = pure_all - pure_1
-        quirk1 = pure_1.copy()
-        quirk1[:, 0] += len1 - pure_1.sum(axis=1)
-        quirk0 = pure_0.copy()
-        quirk0[:, 0] += (len_all - len1) - pure_0.sum(axis=1)
+        quirk1_d = pure_1.at[:, 0].add(len1 - pure_1.sum(axis=1))
+        quirk0_d = pure_0.at[:, 0].add((len_all - len1) - pure_0.sum(axis=1))
 
-        passes = _pair_passes(quirk0, quirk1, cfg)
+        passes_d = _pair_passes(quirk0_d, quirk1_d, cfg)
+        passes = bits.host_unpackbits(
+            np.asarray(bits.device_packbits(passes_d)), B
+        ).astype(bool)
         sel = np.flatnonzero(passes)
         if len(sel) == 0:
             return {"events": writer.events, "cluster_nr": writer.cluster_nr}
@@ -474,8 +465,8 @@ def _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da, cfg) -> dict:
         # both individuals' left contexts come from the merged BWT
         # (cpp:1057-1058) — supports are merged counts
         sel_d = jnp.asarray(sel, jnp.int32)
-        sb = jnp.asarray(cl.begins)[sel_d]
-        se = jnp.asarray(cl.ends)[sel_d]
+        sb = begins[sel_d]
+        se = ends[sel_d]
         ctx, support, full = call.extract_consensus_batch(
             fm, sb, se, k_left=cfg.k_left
         )
@@ -487,7 +478,8 @@ def _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da, cfg) -> dict:
 
         ctx_ascii = _decode_rows(np.asarray(ctx), cfg.term)
         _emit_pair_clusters(
-            writer, cfg, len(sel), found, quirk0[sel], quirk1[sel],
+            writer, cfg, len(sel), found,
+            np.asarray(quirk0_d[sel_d]), np.asarray(quirk1_d[sel_d]),
             np.asarray(support), np.asarray(support),
             np.asarray(full), np.asarray(full),
             ctx_ascii, ctx_ascii,

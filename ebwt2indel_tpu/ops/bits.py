@@ -25,3 +25,30 @@ def device_packbits(arr) -> jnp.ndarray:
 def host_unpackbits(packed: np.ndarray, n: int) -> np.ndarray:
     """Inverse of device_packbits; returns (n,) uint8 in {0,1}."""
     return np.unpackbits(np.asarray(packed), bitorder="little")[:n]
+
+
+# ---------------------------------------------------------------------------
+# rank-ready packed bitvector (layout consumed by ops.rank.bv_rank1 / bv_get)
+# ---------------------------------------------------------------------------
+
+
+def bv_build(bits_u8) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device 0/1 uint8 vector -> (words (nb, 4) uint32, counts (nb,) int32)
+    for ops.rank.bv_rank1 — the TPU-side rank structure over the document
+    array (the reference scans its vector<bool> DA sequentially,
+    ebwt2InDel.cpp:1431-1432)."""
+    n = bits_u8.shape[0]
+    nb = -(-n // 128)
+    pad = nb * 128 - n
+    a = bits_u8.astype(jnp.uint8)
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros(pad, jnp.uint8)])
+    w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    words = (a.reshape(nb, 4, 32).astype(jnp.uint32) * w).sum(
+        axis=-1, dtype=jnp.uint32
+    )
+    import jax
+
+    per_block = jax.lax.population_count(words).sum(axis=-1, dtype=jnp.int32)
+    counts = jnp.cumsum(per_block) - per_block
+    return words, counts

@@ -125,3 +125,15 @@ def test_index_cache_roundtrip(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(fm1.blocks),
                                   np.asarray(fm2.blocks))
     assert fm1.n == fm2.n
+
+
+def test_bv_build_device_matches_host(rng):
+    from ebwt2indel_tpu.ops import bits as bits_ops
+
+    n = 5000
+    b = (rng.random(n) < 0.3).astype(np.uint8)
+    words_h, counts_h = packing.pack_bitvector(b)
+    words_d, counts_d = bits_ops.bv_build(jnp.asarray(b))
+    nb = min(len(words_h), len(words_d))  # host pads one extra block
+    np.testing.assert_array_equal(np.asarray(words_d)[:nb], words_h[:nb])
+    np.testing.assert_array_equal(np.asarray(counts_d)[:nb], counts_h[:nb])
