@@ -1,14 +1,19 @@
-"""Benchmark: end-to-end mode-1 calling throughput (BWT positions/sec) vs the
-compiled reference, with byte-parity verification.
+"""Benchmark: end-to-end calling throughput (BWT positions/sec) vs the
+compiled reference, with byte-parity verification, for all three modes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per benchmarked mode ({"metric", "value", "unit",
+"vs_baseline"}); the mode-1 headline line is printed LAST so a
+take-the-last-line driver records the same metric as previous rounds.
 
 Runs on whatever JAX backend the environment provides (real TPU under the
-driver; CPU as fallback). The first pipeline run warms the compilation cache;
-the reported value is the steady-state second run. vs_baseline is the speedup
-over the reference binary's wall time on the same input (reference is
-single-threaded CPU — its only parallel story is process sharding,
-pebwt2InDel.sh).
+driver; CPU as fallback). The first pipeline run per mode warms the
+compilation cache; the reported value is the steady-state second run.
+vs_baseline is the speedup over the reference binary's wall time on the
+same input (reference is single-threaded CPU — its only parallel story is
+process sharding, pebwt2InDel.sh).
+
+Env knobs: BENCH_MODES (default "2,3,1"), BENCH_GENOME_LEN, BENCH_COVERAGE,
+BENCH_READ_LEN.
 """
 
 from __future__ import annotations
@@ -29,32 +34,74 @@ REF_BIN = os.path.join(REPO, ".ref_build", "ebwt2InDel")
 GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 4_600_000))
 COVERAGE = float(os.environ.get("BENCH_COVERAGE", 25))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 100))
+MODES = [int(m) for m in os.environ.get("BENCH_MODES", "2,3,1").split(",")]
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def ensure_dataset() -> str:
-    os.makedirs(DATA, exist_ok=True)
-    tag = f"g{GENOME_LEN}_c{COVERAGE:g}_l{READ_LEN}"
-    path = os.path.join(DATA, f"reads_{tag}.ebwt")
-    if os.path.isfile(path):
-        return path
-    log(f"[bench] building dataset {tag} ...")
-    from ebwt2indel_tpu.tools import ebwt, simulate
+def _tag() -> str:
+    return f"g{GENOME_LEN}_c{COVERAGE:g}_l{READ_LEN}"
+
+
+def _make_reads():
+    """The two haplotype read sets (each at half coverage)."""
+    from ebwt2indel_tpu.tools import simulate
 
     rng = np.random.default_rng(0xBE7C)
     genome = simulate.random_genome(rng, GENOME_LEN)
     hap2, _ = simulate.plant_variants(rng, genome, snp_rate=0.001,
                                       indel_rate=0.0002)
-    reads = simulate.sample_reads(rng, genome, COVERAGE / 2, READ_LEN) + \
-        simulate.sample_reads(rng, hap2, COVERAGE / 2, READ_LEN)
-    bwt = ebwt.ebwt_of_reads(reads)
+    reads1 = simulate.sample_reads(rng, genome, COVERAGE / 2, READ_LEN)
+    reads2 = simulate.sample_reads(rng, hap2, COVERAGE / 2, READ_LEN)
+    return reads1, reads2
+
+
+def ensure_dataset_mode1() -> str:
+    os.makedirs(DATA, exist_ok=True)
+    path = os.path.join(DATA, f"reads_{_tag()}.ebwt")
+    if os.path.isfile(path):
+        return path
+    log(f"[bench] building mode-1 dataset {_tag()} ...")
+    from ebwt2indel_tpu.tools import ebwt
+
+    reads1, reads2 = _make_reads()
+    bwt = ebwt.ebwt_of_reads(reads1 + reads2)
     with open(path, "w") as f:
         f.write(bwt)
     log(f"[bench] dataset ready: {len(bwt)} positions")
     return path
+
+
+def ensure_dataset_pair() -> tuple[str, str, str, str]:
+    """Datasets for modes 2 (two BWTs) and 3 (merged BWT + DA).
+
+    Reference comparison points: run_two_datasets (ebwt2InDel.cpp:1344),
+    run_two_datasets_da (ebwt2InDel.cpp:1471).
+    """
+    os.makedirs(DATA, exist_ok=True)
+    pa = os.path.join(DATA, f"a_{_tag()}.ebwt")
+    pb = os.path.join(DATA, f"b_{_tag()}.ebwt")
+    pm = os.path.join(DATA, f"merged_{_tag()}.ebwt")
+    pd = os.path.join(DATA, f"merged_{_tag()}.da")
+    if all(os.path.isfile(p) for p in (pa, pb, pm, pd)):
+        return pa, pb, pm, pd
+    log(f"[bench] building pair datasets {_tag()} ...")
+    from ebwt2indel_tpu.tools import ebwt
+
+    reads1, reads2 = _make_reads()
+    with open(pa, "w") as f:
+        f.write(ebwt.ebwt_of_reads(reads1))
+    with open(pb, "w") as f:
+        f.write(ebwt.ebwt_of_reads(reads2))
+    bwt, da = ebwt.ebwt_and_da_of_two(reads1, reads2)
+    with open(pm, "w") as f:
+        f.write(bwt)
+    with open(pd, "w") as f:
+        f.write(da)
+    log(f"[bench] pair datasets ready: {len(bwt)} merged positions")
+    return pa, pb, pm, pd
 
 
 def ensure_reference() -> str | None:
@@ -73,61 +120,95 @@ def ensure_reference() -> str | None:
         return None
 
 
-def run_ours(bwt_path: str, out_path: str) -> float:
+def run_ours(mode: int, paths, out_path: str) -> float:
     from ebwt2indel_tpu.models import pipeline
     from ebwt2indel_tpu.utils.config import Config
 
-    cfg = Config(input1=bwt_path, output=out_path)
+    if mode == 1:
+        cfg = Config(input1=paths[0], output=out_path)
+        fn = pipeline.run_one_dataset
+    elif mode == 2:
+        cfg = Config(input1=paths[0], input2=paths[1], output=out_path)
+        fn = pipeline.run_two_datasets
+    else:
+        cfg = Config(input1=paths[0], input_da=paths[1], output=out_path)
+        fn = pipeline.run_two_datasets_da
     t0 = time.perf_counter()
-    pipeline.run_one_dataset(cfg, log=lambda *a, **k: None)
+    fn(cfg, log=lambda *a, **k: None)
     return time.perf_counter() - t0
 
 
-def main() -> int:
-    bwt_path = ensure_dataset()
-    n = os.path.getsize(bwt_path)
+def ref_args(mode: int, paths, out_path: str) -> list[str]:
+    if mode == 1:
+        return ["-1", paths[0], "-o", out_path]
+    if mode == 2:
+        return ["-1", paths[0], "-2", paths[1], "-o", out_path]
+    return ["-1", paths[0], "-d", paths[1], "-o", out_path]
 
+
+def bench_mode(mode: int, paths, n_positions: int, ref: str | None) -> dict:
+    ours_out = os.path.join(DATA, f"ours_m{mode}.snp")
+    log(f"[bench] mode {mode}: warmup run (compilation) ...")
+    t_warm = run_ours(mode, paths, ours_out)
+    log(f"[bench] mode {mode}: warmup {t_warm:.2f}s; timed run ...")
+    t_ours = run_ours(mode, paths, ours_out)
+    log(f"[bench] mode {mode}: ours {t_ours:.2f}s "
+        f"({n_positions / t_ours / 1e6:.2f} Mpos/s)")
+
+    vs_baseline = None
+    if ref:
+        ref_out = os.path.join(DATA, f"ref_m{mode}.snp")
+        t0 = time.perf_counter()
+        subprocess.run([ref] + ref_args(mode, paths, ref_out), check=True,
+                       capture_output=True)
+        t_ref = time.perf_counter() - t0
+        log(f"[bench] mode {mode}: reference {t_ref:.2f}s "
+            f"({n_positions / t_ref / 1e6:.2f} Mpos/s)")
+        parity = open(ours_out, "rb").read() == open(ref_out, "rb").read()
+        log(f"[bench] mode {mode}: parity "
+            f"{'BYTE-IDENTICAL' if parity else 'MISMATCH'}")
+        if not parity:
+            return {
+                "metric": f"mode{mode} positions/sec (PARITY FAILURE)",
+                "value": 0.0, "unit": "pos/s", "vs_baseline": 0.0,
+            }
+        vs_baseline = t_ref / t_ours
+
+    return {
+        "metric": f"mode{mode} end-to-end BWT positions/sec/chip",
+        "value": round(n_positions / t_ours, 1),
+        "unit": "pos/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }
+
+
+def main() -> int:
     import jax
 
     log(f"[bench] jax backend: {jax.default_backend()} "
         f"devices: {jax.devices()}")
-
-    ours_out = os.path.join(DATA, "ours.snp")
-    log("[bench] warmup run (compilation) ...")
-    t_warm = run_ours(bwt_path, ours_out)
-    log(f"[bench] warmup: {t_warm:.2f}s")
-    log("[bench] timed run ...")
-    t_ours = run_ours(bwt_path, ours_out)
-    log(f"[bench] ours: {t_ours:.2f}s  ({n / t_ours / 1e6:.2f} Mpos/s)")
-
-    vs_baseline = None
     ref = ensure_reference()
-    if ref:
-        ref_out = os.path.join(DATA, "ref.snp")
-        t0 = time.perf_counter()
-        subprocess.run([ref, "-1", bwt_path, "-o", ref_out], check=True,
-                       capture_output=True)
-        t_ref = time.perf_counter() - t0
-        log(f"[bench] reference: {t_ref:.2f}s "
-            f"({n / t_ref / 1e6:.2f} Mpos/s)")
-        parity = open(ours_out, "rb").read() == open(ref_out, "rb").read()
-        log(f"[bench] parity: {'BYTE-IDENTICAL' if parity else 'MISMATCH'}")
-        if not parity:
-            # a benchmark on wrong output is meaningless
-            print(json.dumps({
-                "metric": "mode1 positions/sec (PARITY FAILURE)",
-                "value": 0.0, "unit": "pos/s", "vs_baseline": 0.0,
-            }))
-            return 1
-        vs_baseline = t_ref / t_ours
 
-    print(json.dumps({
-        "metric": "mode1 end-to-end BWT positions/sec/chip",
-        "value": round(n / t_ours, 1),
-        "unit": "pos/s",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-    }))
-    return 0
+    results: list[dict] = []
+    rc = 0
+    # mode 1 last: its JSON line is the headline a last-line parser records
+    for mode in [m for m in MODES if m != 1] + ([1] if 1 in MODES else []):
+        if mode == 1:
+            p1 = ensure_dataset_mode1()
+            paths = (p1,)
+            n = os.path.getsize(p1)
+        else:
+            pa, pb, pm, pd = ensure_dataset_pair()
+            paths = (pa, pb) if mode == 2 else (pm, pd)
+            n = os.path.getsize(pm)
+        res = bench_mode(mode, paths, n, ref)
+        if res["value"] == 0.0:
+            rc = 1
+        results.append(res)
+
+    for res in results:
+        print(json.dumps(res))
+    return rc
 
 
 if __name__ == "__main__":
