@@ -45,18 +45,15 @@ def range_counts(fm: FMIndex, begins, ends):
     return quirk, pure
 
 
-@partial(jax.jit, static_argnames=("k_left",))
-def extract_consensus_batch(fm: FMIndex, begins, ends, *, k_left: int):
-    """For every cluster and every c in {A,C,G,T}: the consensus left context
-    of length k_left ending with c, its support, and a validity flag.
-
-    Returns (ctx (B,4,k_left) int8 codes, support (B,4) int32,
-    full (B,4) bool — context reached full length).
+def consensus_core(lf_range, begins, ends, k_left: int):
+    """Body of extract_consensus_batch, parametrized by the range-extension
+    primitive so the single-device (fm_ops.lf_range) and sharded
+    (psum-combined) paths share one implementation.
     Mirrors extract_consensus (ebwt2InDel.cpp:243-319).
     """
     B = begins.shape[0]
     # start: R = LF(range, c) for each c — one parallel rank pair
-    lo4, hi4 = fm_ops.lf_range(fm, begins, ends)  # (B,4)
+    lo4, hi4 = lf_range(begins, ends)  # (B,4)
     support = hi4 - lo4
 
     ctx = jnp.zeros((B, 4, k_left), dtype=jnp.int8)
@@ -72,7 +69,7 @@ def extract_consensus_batch(fm: FMIndex, begins, ends, *, k_left: int):
 
     def body(step, state):
         lo, hi, alive, length, ctx = state
-        l4, h4 = fm_ops.lf_range(fm, lo, hi)
+        l4, h4 = lf_range(lo, hi)
         cnt = h4 - l4  # (B4, 4)
         best = jnp.argmax(cnt, axis=-1)  # first max -> A<C<G<T tie-break
         bc = jnp.take_along_axis(cnt, best[:, None], axis=-1)[:, 0]
@@ -95,6 +92,21 @@ def extract_consensus_batch(fm: FMIndex, begins, ends, *, k_left: int):
     full = length == k_left
     return (ctx.reshape(B, 4, k_left), support,
             full.reshape(B, 4))
+
+
+@partial(jax.jit, static_argnames=("k_left",))
+def extract_consensus_batch(fm: FMIndex, begins, ends, *, k_left: int):
+    """For every cluster and every c in {A,C,G,T}: the consensus left context
+    of length k_left ending with c, its support, and a validity flag.
+
+    Returns (ctx (B,4,k_left) int8 codes, support (B,4) int32,
+    full (B,4) bool — context reached full length).
+    Mirrors extract_consensus (ebwt2InDel.cpp:243-319); body in
+    consensus_core, shared with the sharded path.
+    """
+    return consensus_core(
+        lambda lo, hi: fm_ops.lf_range(fm, lo, hi), begins, ends, k_left
+    )
 
 
 @partial(jax.jit, static_argnames=("k_right",))

@@ -147,6 +147,34 @@ def extend_node(fm: FMIndex, nodes):
     return jnp.concatenate([ext, depth4], axis=-1)
 
 
+def extend_node_dedup(fm: FMIndex, nodes, budget: int):
+    """extend_node with boundary-rank dedup (dna_bwt.hpp:334-347).
+
+    A node's 6 boundaries are non-decreasing and frequently equal (a node
+    with c children has c+1 distinct boundaries), so the flattened chunk
+    coordinate vector is run-heavy; rank.parallel_rank_dedup ranks each
+    run once. nodes: int32 (C, 7) -> int32 (C, 4, 7).
+    """
+    C = nodes.shape[0]
+    flat = nodes[:, :6].reshape(-1)
+    ranks = rank.parallel_rank_dedup(fm.blocks, flat, budget)
+    ext = fm.F[:, None] + jnp.swapaxes(ranks.reshape(C, 6, 4), -1, -2)
+    depth4 = jnp.broadcast_to(nodes[:, None, 6:7] + 1, (C, 4, 1))
+    return jnp.concatenate([ext, depth4], axis=-1)
+
+
+def lf_range_dedup(fm: FMIndex, first, second, budget: int):
+    """lf_range with cross-leaf boundary dedup. After char-major queue
+    compaction consecutive leaves are often adjacent intervals
+    (prev.second == next.first), so the interleaved [f0,s0,f1,s1,...]
+    vector is run-heavy. first, second: int32 (C,)."""
+    C = first.shape[0]
+    flat = jnp.stack([first, second], axis=-1).reshape(-1)
+    ranks = rank.parallel_rank_dedup(fm.blocks, flat, budget)
+    ranks = ranks.reshape(C, 2, 4)
+    return fm.F + ranks[:, 0], fm.F + ranks[:, 1]
+
+
 def node_num_children(nodes):
     """Number of non-empty children of each node (include.hpp:760-768)."""
     c = nodes[..., :6]

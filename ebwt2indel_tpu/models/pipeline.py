@@ -125,9 +125,11 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
 
     # cluster detection and the right-context anchor table stay on device —
     # no O(n) flag transfer at all in mode 1
+    tmark0 = _timing_marker()
     next_thr = call.next_set_table(res.thr_R)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
     t4 = time.perf_counter()
+    tmark0("cluster detect (device)")
     log(f"[timing] cluster detect (device) {t4 - t2:.2f}s")
 
     stats = _call_and_emit_single(fm, cl, next_thr, cfg)

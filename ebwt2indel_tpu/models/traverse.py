@@ -40,6 +40,15 @@ CHUNK = int(_os.environ.get("EBWT_CHUNK", 256 * 1024))
 # (scatter/compaction launches) — batched rank throughput on TPU v5e rises
 # ~5x from 16k to 512k queries per dispatch
 
+# distinct-coordinate rank budget as a fraction of the dense query count
+# (the reference skips rank at equal node boundaries, dna_bwt.hpp:334-347;
+# ~58% of boundaries are distinct in practice). 0 disables dedup.
+_DEDUP_FRAC = float(_os.environ.get("EBWT_DEDUP_FRAC", "0.625"))
+
+
+def _dedup_budget(n_queries: int) -> int:
+    return max(8, int(n_queries * _DEDUP_FRAC))
+
 
 @dataclasses.dataclass
 class TraversalResult:
@@ -105,7 +114,12 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     ])
     dif = dif.at[idx].add(val, mode="drop")
 
-    lo4, hi4 = fm_ops.lf_range(fm, first, second)
+    if _DEDUP_FRAC > 0:
+        lo4, hi4 = fm_ops.lf_range_dedup(
+            fm, first, second, budget=_dedup_budget(2 * C)
+        )
+    else:
+        lo4, hi4 = fm_ops.lf_range(fm, first, second)
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
     children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
     keep = valid[:, None] & ((hi4 - lo4) >= 2)
@@ -161,7 +175,10 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
         vals.append(v)
     nf = nf.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals), mode="drop")
 
-    ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
+    if _DEDUP_FRAC > 0:
+        ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
+    else:
+        ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
     nch = fm_ops.node_num_children(ext)
     keep = valid[:, None] & (nch >= 2)
     # char-major compaction: children extending by the same character live in
@@ -207,8 +224,13 @@ def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     val = jnp.concatenate([one, -one, one, -one, one, -one])
     dif = dif.at[idx].add(val, mode="drop")
 
-    lo1, hi1 = fm_ops.lf_range(fm1, f1, s1)
-    lo2, hi2 = fm_ops.lf_range(fm2, f2, s2)
+    if _DEDUP_FRAC > 0:
+        b = _dedup_budget(2 * C)
+        lo1, hi1 = fm_ops.lf_range_dedup(fm1, f1, s1, budget=b)
+        lo2, hi2 = fm_ops.lf_range_dedup(fm2, f2, s2, budget=b)
+    else:
+        lo1, hi1 = fm_ops.lf_range(fm1, f1, s1)
+        lo2, hi2 = fm_ops.lf_range(fm2, f2, s2)
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
     children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
     combined = (hi1 - lo1) + (hi2 - lo2)
@@ -273,8 +295,17 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
         vals.append(v)
     nf = nf.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals), mode="drop")
 
-    ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
-    ext2 = fm_ops.extend_node(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]])
+    if _DEDUP_FRAC > 0:
+        # pair chunks are especially run-heavy: a string present in only
+        # one BWT makes the other side's node empty (all 6 coords equal)
+        b = _dedup_budget(6 * C)
+        ext1 = fm_ops.extend_node_dedup(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]],
+                                        budget=b)
+        ext2 = fm_ops.extend_node_dedup(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]],
+                                        budget=b)
+    else:
+        ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
+        ext2 = fm_ops.extend_node(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]])
     u1 = ext1[..., 1:6] > ext1[..., 0:5]
     u2 = ext2[..., 1:6] > ext2[..., 0:5]
     n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)

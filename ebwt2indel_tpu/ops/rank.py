@@ -97,6 +97,42 @@ def parallel_rank(blocks, i):
     return out.reshape(shape + (4,))
 
 
+def parallel_rank_dedup(blocks, i, budget: int):
+    """parallel_rank over a 1-D query vector whose adjacent entries are
+    frequently equal — rank once per *distinct* coordinate.
+
+    The reference skips rank calls at equal node boundaries
+    (dna_bwt.hpp:334-347: ``if(N.first_A == N.first_TERM) before_A =
+    before_TERM``). The batched equivalent: compact the run-heads of ``i``
+    into a ``budget``-sized buffer (index scatter), rank the buffer, and
+    gather each query's governing result back via the inclusive prefix
+    count of run-heads. Equal coordinates have equal ranks, so this is
+    exact; adjacent *cross-node* duplicates (sibling intervals sharing a
+    boundary after char-major queue compaction) dedup for free too.
+
+    Falls back to the dense rank when the distinct count exceeds
+    ``budget`` (lax.cond — one branch executes). budget must be static.
+
+    i: int32 (B,); returns int32 (B, 4).
+    """
+    head = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), i[1:] != i[:-1]]
+    )
+    gov = jnp.cumsum(head.astype(jnp.int32)) - 1  # governing slot per query
+    count = gov[-1] + 1
+
+    def dedup_path(_):
+        pos = jnp.where(head, gov, jnp.int32(budget))
+        buf = jnp.zeros(budget, jnp.int32).at[pos].set(i, mode="drop")
+        rc = parallel_rank(blocks, buf)  # (budget, 4)
+        return rc[jnp.minimum(gov, budget - 1)]
+
+    def dense_path(_):
+        return parallel_rank(blocks, i)
+
+    return jax.lax.cond(count <= budget, dedup_path, dense_path, None)
+
+
 def rank_non_dna(blocks, i):
     """Number of TERM characters before position i (dna_string.hpp:194-203)."""
     return i - parallel_rank(blocks, i).sum(axis=-1, dtype=jnp.int32)
@@ -142,13 +178,9 @@ def _select_in_word(word, t):
     return lo
 
 
-def select(blocks, block_counts, r, c):
-    """Position of the (r+1)-th occurrence of char code c (0..3), batched.
-
-    blocks: uint32 (n_blocks, 16); block_counts: int32 (n_blocks, 4);
-    r, c: int32 [...]. Assumes r < total count of c (dna_string.hpp:182-188).
-    """
-    # phase A: block via binary search over absolute counters
+def select_block(block_counts, r, c):
+    """Phase A of select: the block containing the (r+1)-th occurrence of
+    char c — binary search over the absolute per-block counters."""
     nb = block_counts.shape[0]
     lo = jnp.zeros(r.shape, dtype=jnp.int32)
     hi = jnp.full(r.shape, nb, dtype=jnp.int32)  # exclusive
@@ -161,11 +193,14 @@ def select(blocks, block_counts, r, c):
         gt = cm > r
         lo = jnp.where(use & ~gt, mid, lo)
         hi = jnp.where(use & gt, mid, hi)
-    b = lo
-    row = blocks[b]
+    return lo
+
+
+def select_in_block(row, r, c):
+    """Phase B of select: offset (0..127) of the (t+1)-th occurrence of char
+    c inside a gathered block row, t = r minus the block's counter."""
     t = r - jnp.take_along_axis(row[..., 12:16].astype(jnp.int32),
                                 c[..., None], axis=-1)[..., 0]
-    # phase B: word within block
     chars = _char_plane_words(row)  # [..., 4, 4]
     words = jnp.take_along_axis(
         chars, c[..., None, None].astype(jnp.int32), axis=-2
@@ -178,7 +213,17 @@ def select(blocks, block_counts, r, c):
     t2 = t - jnp.take_along_axis(prev, widx[..., None], axis=-1)[..., 0]
     word = jnp.take_along_axis(words, widx[..., None], axis=-1)[..., 0]
     bit = _select_in_word(word, t2)
-    return b * BLOCK + widx * 32 + bit
+    return widx * 32 + bit
+
+
+def select(blocks, block_counts, r, c):
+    """Position of the (r+1)-th occurrence of char code c (0..3), batched.
+
+    blocks: uint32 (n_blocks, 16); block_counts: int32 (n_blocks, 4);
+    r, c: int32 [...]. Assumes r < total count of c (dna_string.hpp:182-188).
+    """
+    b = select_block(block_counts, r, c)
+    return b * BLOCK + select_in_block(blocks[b], r, c)
 
 
 # ---------------------------------------------------------------------------

@@ -137,3 +137,23 @@ def test_bv_build_device_matches_host(rng):
     nb = min(len(words_h), len(words_d))  # host pads one extra block
     np.testing.assert_array_equal(np.asarray(words_d)[:nb], words_h[:nb])
     np.testing.assert_array_equal(np.asarray(counts_d)[:nb], counts_h[:nb])
+
+
+@pytest.mark.parametrize("budget_frac", [0.6, 1.2, 0.05])
+def test_parallel_rank_dedup_matches_dense(rng, budget_frac):
+    """Dedup rank equals dense rank on a run-heavy query vector, for a
+    comfortable budget, an over-budget (always-fits) case, and a tiny
+    budget that forces the dense fallback branch."""
+    n = 6000
+    codes = random_codes(rng, n)
+    pb = packing.pack_codes(codes)
+    blocks = jnp.asarray(pb.blocks)
+    # run-heavy vector: sorted positions with repeats, like node boundaries
+    base = np.sort(rng.integers(0, n + 1, size=300)).astype(np.int32)
+    qs = np.repeat(base, rng.integers(1, 5, size=len(base)))
+    budget = max(8, int(len(qs) * budget_frac))
+    got = np.asarray(
+        rank.parallel_rank_dedup(blocks, jnp.asarray(qs), budget)
+    )
+    want = np.asarray(rank.parallel_rank(blocks, jnp.asarray(qs)))
+    np.testing.assert_array_equal(got, want)
