@@ -130,11 +130,21 @@ def main(argv=None) -> int:
               "unlimited.")
     print()
 
+    # EBWT_MESH=<n> routes execution through the sharded pipeline over an
+    # n-device 'pos' mesh (multi-chip path; byte-identical output). An env
+    # switch, not a flag: the optstring stays reference-identical.
+    n_mesh = int(os.environ.get("EBWT_MESH", "0") or 0)
+
     try:
         if cfg.input2:
             pipeline.run_two_datasets(cfg)
         elif cfg.input_da:
             pipeline.run_two_datasets_da(cfg)
+        elif n_mesh > 1:
+            from .parallel import pipeline as ppipe
+            from .parallel import shard
+
+            ppipe.run_one_dataset_sharded(cfg, shard.make_mesh(n_mesh))
         else:
             pipeline.run_one_dataset(cfg)
     except ValueError as e:

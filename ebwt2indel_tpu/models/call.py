@@ -31,18 +31,24 @@ from . import fm_index as fm_ops
 from .fm_index import FMIndex
 
 
+def range_counts_core(parallel_rank, begins, ends):
+    """Body of range_counts, parametrized by the rank primitive so the
+    single-device and sharded (psum-combined) paths share it."""
+    pure = parallel_rank(ends) - parallel_rank(begins)  # (B, 4)
+    n_term = (ends - begins) - pure.sum(axis=-1)
+    quirk = pure.at[..., 0].add(n_term)
+    return quirk, pure
+
+
 @partial(jax.jit, static_argnames=())
 def range_counts(fm: FMIndex, begins, ends):
     """Counts of A,C,G,T in BWT[begin:end) with the TERM->A quirk.
 
     Also returns the pure (quirk-free) ACGT counts used as supports.
     """
-    pr_b = fm_ops.parallel_rank(fm, begins)
-    pr_e = fm_ops.parallel_rank(fm, ends)
-    pure = pr_e - pr_b  # (B, 4)
-    n_term = (ends - begins) - pure.sum(axis=-1)
-    quirk = pure.at[..., 0].add(n_term)
-    return quirk, pure
+    return range_counts_core(
+        lambda i: fm_ops.parallel_rank(fm, i), begins, ends
+    )
 
 
 def consensus_core(lf_range, begins, ends, k_left: int):
@@ -109,26 +115,23 @@ def extract_consensus_batch(fm: FMIndex, begins, ends, *, k_left: int):
     )
 
 
-@partial(jax.jit, static_argnames=("k_right",))
-def extract_dna_batch(fm: FMIndex, starts, active, *, k_right: int):
-    """Forward extraction of up to k_right characters starting at F position
-    ``starts``; stops at TERM (extract_dna, ebwt2InDel.cpp:325-342).
-
-    Returns (seq (B, k_right) int8 codes, length (B,) int32).
-    """
+def extract_dna_core(f_char_fn, fl_fn, starts, active, k_right: int):
+    """Body of extract_dna_batch, parametrized by the F-access and FL
+    primitives so the single-device and sharded (psum-combined select)
+    paths share it."""
     B = starts.shape[0]
     seq = jnp.zeros((B, k_right), dtype=jnp.int8)
     length = jnp.zeros(B, dtype=jnp.int32)
 
     def body(step, state):
         i, alive, length, seq = state
-        c = fm_ops.f_char(fm, i)
+        c = f_char_fn(i)
         step_alive = alive & (c != 4)
         seq = seq.at[:, step].set(
             jnp.where(step_alive, c.astype(jnp.int8), seq[:, step])
         )
         length = jnp.where(step_alive, length + 1, length)
-        nxt = fm_ops.fl(fm, jnp.where(step_alive, i, 0))
+        nxt = fl_fn(jnp.where(step_alive, i, 0))
         i = jnp.where(step_alive, nxt, i)
         return i, step_alive, length, seq
 
@@ -136,6 +139,19 @@ def extract_dna_batch(fm: FMIndex, starts, active, *, k_right: int):
         0, k_right, body, (starts, active, length, seq)
     )
     return seq, length
+
+
+@partial(jax.jit, static_argnames=("k_right",))
+def extract_dna_batch(fm: FMIndex, starts, active, *, k_right: int):
+    """Forward extraction of up to k_right characters starting at F position
+    ``starts``; stops at TERM (extract_dna, ebwt2InDel.cpp:325-342).
+
+    Returns (seq (B, k_right) int8 codes, length (B,) int32).
+    """
+    return extract_dna_core(
+        lambda i: fm_ops.f_char(fm, i), lambda i: fm_ops.fl(fm, i),
+        starts, active, k_right,
+    )
 
 
 @jax.jit

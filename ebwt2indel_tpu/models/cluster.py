@@ -105,18 +105,11 @@ def _cap(n: int) -> int:
     return c
 
 
-@partial(jax.jit, static_argnames=("cap", "mcov_out"))
-def _extract_runs(is_start, end_at, n_ends, *, cap, mcov_out):
-    n = is_start.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-
-    def compact(m):
-        idx = jnp.cumsum(m.astype(jnp.int32)) - 1
-        safe = jnp.where(m, idx, cap)
-        return jnp.zeros(cap, jnp.int32).at[safe].set(pos, mode="drop")
-
-    starts = compact(is_start)
-    ends = compact(end_at) + 1
+def runs_to_clusters(starts, ends, n_ends, *, cap, mcov_out):
+    """Pair the k-th run start with the k-th run end (runs are disjoint, so
+    sorted starts/ends alternate), histogram closed runs, and compact the
+    analyzed (len >= 2*mcov_out) subset. starts/ends: (cap,) int32 sorted
+    by position; reused by the sharded cluster enumeration."""
     k = jnp.arange(cap, dtype=jnp.int32)
     closed = k < n_ends  # drops the unclosed trailing start, if any
     lens = jnp.where(closed, ends - starts, 0)
@@ -134,6 +127,21 @@ def _extract_runs(is_start, end_at, n_ends, *, cap, mcov_out):
     a_ends = jnp.zeros(cap, jnp.int32).at[safe].set(ends, mode="drop")
     return (a_begins, a_ends, analyzed.sum(dtype=jnp.int32), hist,
             clust_size_sum)
+
+
+@partial(jax.jit, static_argnames=("cap", "mcov_out"))
+def _extract_runs(is_start, end_at, n_ends, *, cap, mcov_out):
+    n = is_start.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def compact(m):
+        idx = jnp.cumsum(m.astype(jnp.int32)) - 1
+        safe = jnp.where(m, idx, cap)
+        return jnp.zeros(cap, jnp.int32).at[safe].set(pos, mode="drop")
+
+    starts = compact(is_start)
+    ends = compact(end_at) + 1
+    return runs_to_clusters(starts, ends, n_ends, cap=cap, mcov_out=mcov_out)
 
 
 def find_clusters_device(thr_K_dev, minima_dev, mcov_out: int) -> Clusters:

@@ -14,6 +14,7 @@ jax.distributed with a global mesh).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -34,27 +35,134 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
+def _char_totals(pb: PackedBwt) -> np.ndarray:
+    """Total A,C,G,T occurrence counts, from the F boundaries
+    (dna_bwt.hpp:47-61: F = [#TERM, #TERM+#A, ..+#C, ..+#G])."""
+    F = pb.F.astype(np.int64)
+    return np.array(
+        [F[1] - F[0], F[2] - F[1], F[3] - F[2], pb.n - F[3]], np.int32
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedFM:
+    """Device-mesh mirror of models.fm_index.FMIndex: packed block rows and
+    absolute per-block counters sharded by row over the 'pos' axis, F
+    replicated, plus the per-shard character-count boundaries that let
+    select route a rank r to its owning shard.
+    """
+
+    mesh: Mesh
+    blocks: jax.Array  # (rows*n_dev, 16) uint32, P(AXIS, None)
+    block_counts: jax.Array  # (rows*n_dev, 4) int32, P(AXIS, None)
+    F: jax.Array  # (4,) int32, replicated
+    bounds: jax.Array  # (n_dev+1, 4) int32, replicated — counts of each
+    # char before the first block of each shard; bounds[n_dev] = totals
+    rows: int  # block rows per shard
+    n: int
+    term: int
+
+
+def shard_fm(pb: PackedBwt, mesh: Mesh) -> ShardedFM:
+    n_dev = mesh.devices.size
+    n_blocks = pb.blocks.shape[0]
+    rows = -(-n_blocks // n_dev)
+    totals = _char_totals(pb)
+    padded = np.zeros((rows * n_dev, 16), dtype=np.uint32)
+    padded[:n_blocks] = pb.blocks
+    # padding rows carry the TOTAL counts: rank(n) on a block-aligned n
+    # reads them and gets the exact totals, and select's binary search
+    # (counter <= r with r < total) can never land on a padding row
+    padded[n_blocks:, 12:16] = totals.astype(np.uint32)
+    counts = np.zeros((rows * n_dev, 4), dtype=np.int32)
+    counts[:n_blocks] = pb.block_counts
+    counts[n_blocks:] = totals
+
+    bounds = np.empty((n_dev + 1, 4), np.int32)
+    bounds[:-1] = counts[:: rows][:n_dev, :]
+    bounds[-1] = totals
+
+    rep = NamedSharding(mesh, P())
+    return ShardedFM(
+        mesh=mesh,
+        blocks=jax.device_put(padded, NamedSharding(mesh, P(AXIS, None))),
+        block_counts=jax.device_put(counts,
+                                    NamedSharding(mesh, P(AXIS, None))),
+        F=jax.device_put(pb.F.astype(np.int32), rep),
+        bounds=jax.device_put(bounds, rep),
+        rows=rows, n=pb.n, term=pb.term,
+    )
+
+
 def shard_packed(pb: PackedBwt, mesh: Mesh):
     """Place the packed block rows sharded by row across the mesh.
 
     Returns (blocks (n_blocks_padded, 16) sharded, block_counts sharded,
     F replicated, rows_per_shard).
     """
-    n_dev = mesh.devices.size
-    n_blocks = pb.blocks.shape[0]
-    rows = -(-n_blocks // n_dev)
-    padded = np.zeros((rows * n_dev, 16), dtype=np.uint32)
-    padded[:n_blocks] = pb.blocks
-    # padding rows replicate the final counters so rank(i >= n) stays sane
-    padded[n_blocks:, 12:16] = pb.blocks[-1, 12:16]
-    counts = np.zeros((rows * n_dev, 4), dtype=np.int32)
-    counts[:n_blocks] = pb.block_counts
-    counts[n_blocks:] = pb.block_counts[-1]
+    sfm = shard_fm(pb, mesh)
+    return sfm.blocks, sfm.block_counts, sfm.F, sfm.rows
 
-    blocks = jax.device_put(padded, NamedSharding(mesh, P(AXIS, None)))
-    block_counts = jax.device_put(counts, NamedSharding(mesh, P(AXIS, None)))
-    F = jax.device_put(pb.F.astype(np.int32), NamedSharding(mesh, P()))
-    return blocks, block_counts, F, rows
+
+def local_parallel_rank(blocks_local, rows_per_shard, i):
+    """Per-shard contribution to parallel_rank inside a shard_map region:
+    decode the queries whose block rows this shard owns, zero elsewhere;
+    combine across shards with a psum. i: int32 [...] -> int32 [..., 4].
+
+    Dense-lane formulation of ops.rank.parallel_rank (the batch in the
+    minor dimension so the VPU popcounts run on full lanes)."""
+    sid = jax.lax.axis_index(AXIS)
+    base = sid * rows_per_shard
+    shape = i.shape
+    i = i.reshape(-1)
+    b = jax.lax.shift_right_logical(i, 7)
+    local = b - base
+    mine = (local >= 0) & (local < rows_per_shard)
+    safe = jnp.clip(local, 0, rows_per_shard - 1)
+    o = i & jnp.int32(127)
+    rowT = blocks_local[safe].T
+    p0, p1, p2 = rowT[0:4], rowT[4:8], rowT[8:12]
+    cnt = rowT[12:16].astype(jnp.int32)
+    w = jnp.arange(4, dtype=jnp.int32)[:, None]
+    take = jnp.clip(o[None, :] - w * 32, 0, 32)
+    sh = jnp.minimum(take, 31).astype(jnp.uint32)
+    mask = jnp.where(take == 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << sh) - jnp.uint32(1))
+    np2m = ~p2 & mask
+    t0 = p0 & np2m
+    tt1 = p1 & np2m
+    t2 = p0 & tt1
+    pc = jax.lax.population_count
+    S = pc(np2m).sum(axis=0, dtype=jnp.int32)
+    x = pc(t0).sum(axis=0, dtype=jnp.int32)
+    y = pc(tt1).sum(axis=0, dtype=jnp.int32)
+    z = pc(t2).sum(axis=0, dtype=jnp.int32)
+    out = jnp.stack(
+        [cnt[0] + (S - x - y + z), cnt[1] + (x - z), cnt[2] + (y - z),
+         cnt[3] + z], axis=-1)
+    out = jnp.where(mine.reshape(-1)[:, None], out, 0)
+    return out.reshape(shape + (4,))
+
+
+def local_select(blocks_l, counts_l, bounds, rows_per_shard, r, c):
+    """Per-shard contribution to batched select inside a shard_map region:
+    the shard owning the (r+1)-th occurrence of char c (by the replicated
+    per-shard count boundaries) runs the block binary search on its local
+    absolute counters plus the in-block descent; others contribute 0 —
+    combine with a psum. Padding counters hold totals, so the search can
+    never resolve to a padding row for a valid r < total."""
+    sid = jax.lax.axis_index(AXIS)
+    base = sid * rows_per_shard
+    cc = jnp.clip(c, 0, 3)
+    lo_b = bounds[sid][cc]
+    hi_b = bounds[sid + 1][cc]
+    mine = (r >= lo_b) & (r < hi_b)
+    r_safe = jnp.clip(r, lo_b, jnp.maximum(hi_b - 1, lo_b))
+    lb = rank.select_block(counts_l, r_safe, cc)
+    pos = (base + lb) * rank.BLOCK + rank.select_in_block(
+        blocks_l[lb], r_safe, cc
+    )
+    return jnp.where(mine, pos, 0)
 
 
 def sharded_parallel_rank(mesh: Mesh, rows_per_shard: int):

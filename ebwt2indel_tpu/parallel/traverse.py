@@ -34,41 +34,6 @@ from . import shard
 AXIS = shard.AXIS
 
 
-def _local_parallel_rank(blocks_local, rows_per_shard, i):
-    """Per-shard contribution to parallel_rank; combine with psum."""
-    sid = jax.lax.axis_index(AXIS)
-    base = sid * rows_per_shard
-    shape = i.shape
-    i = i.reshape(-1)
-    b = jax.lax.shift_right_logical(i, 7)
-    local = b - base
-    mine = (local >= 0) & (local < rows_per_shard)
-    safe = jnp.clip(local, 0, rows_per_shard - 1)
-    o = i & jnp.int32(127)
-    rowT = blocks_local[safe].T
-    p0, p1, p2 = rowT[0:4], rowT[4:8], rowT[8:12]
-    cnt = rowT[12:16].astype(jnp.int32)
-    w = jnp.arange(4, dtype=jnp.int32)[:, None]
-    take = jnp.clip(o[None, :] - w * 32, 0, 32)
-    sh = jnp.minimum(take, 31).astype(jnp.uint32)
-    mask = jnp.where(take == 32, jnp.uint32(0xFFFFFFFF),
-                     (jnp.uint32(1) << sh) - jnp.uint32(1))
-    np2m = ~p2 & mask
-    t0 = p0 & np2m
-    tt1 = p1 & np2m
-    t2 = p0 & tt1
-    pc = jax.lax.population_count
-    S = pc(np2m).sum(axis=0, dtype=jnp.int32)
-    x = pc(t0).sum(axis=0, dtype=jnp.int32)
-    y = pc(tt1).sum(axis=0, dtype=jnp.int32)
-    z = pc(t2).sum(axis=0, dtype=jnp.int32)
-    out = jnp.stack(
-        [cnt[0] + (S - x - y + z), cnt[1] + (x - z), cnt[2] + (y - z),
-         cnt[3] + z], axis=-1)
-    out = jnp.where(mine.reshape(-1)[:, None], out, 0)
-    return out.reshape(shape + (4,))
-
-
 @partial(jax.jit,
          static_argnames=("mesh", "rows_per_shard", "local_n", "queue_cap",
                           "chunk", "K", "k_right"))
@@ -90,7 +55,7 @@ def _sharded_node_phase(mesh, blocks, F, init, nf, *, rows_per_shard,
         def extend(nodes):
             coords = nodes[:, :6]
             ranks = jax.lax.psum(
-                _local_parallel_rank(blocks_l, rows_per_shard, coords), AXIS
+                shard.local_parallel_rank(blocks_l, rows_per_shard, coords), AXIS
             )
             ext = F_rep[:, None] + jnp.swapaxes(ranks, -1, -2)
             depth = jnp.broadcast_to(nodes[:, 6:7, None] + 1,
@@ -247,7 +212,7 @@ def _sharded_leaf_phase(mesh, blocks, F, init, dif, *, rows_per_shard,
                                dif_flat[local_n + 1: 2 * local_n + 1]])
 
             ranks = jax.lax.psum(
-                _local_parallel_rank(blocks_l, rows_per_shard,
+                shard.local_parallel_rank(blocks_l, rows_per_shard,
                                      jnp.stack([first, second], -1)), AXIS
             )  # (chunk, 2, 4)
             lo4 = F_rep + ranks[:, 0]
@@ -276,28 +241,80 @@ def _sharded_leaf_phase(mesh, blocks, F, init, dif, *, rows_per_shard,
     return run(blocks, F, init, dif)
 
 
-def navigate_one_bwt_sharded(pb: PackedBwt, mesh, K: int, k_right: int):
-    """Full sharded mode-1 navigation (leaf + node phases); returns host
-    (thr_K, thr_R, minima) equivalent to models.traverse.navigate_one_bwt."""
-    n_dev = mesh.devices.size
-    blocks, block_counts, F, rows = shard.shard_packed(pb, mesh)
-    local_n = -(-(pb.n + 2) // n_dev)  # room for deltas at n and n+1
-    pad_n = local_n * n_dev
+@partial(jax.jit, static_argnames=("mesh",))
+def _combine_flags(mesh, nf, dif):
+    """Merge the node-phase bit flags with the leaf-phase boundary deltas
+    into the final sharded flag vectors.
 
-    Fh = pb.F.astype(np.int32)
+    The range fill is a global inclusive prefix sum of the sharded deltas:
+    local cumsum + the exclusive cross-shard prefix of per-shard totals
+    (one all_gather of n_dev scalars over ICI).
+    """
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS), P(None, AXIS)),
+             out_specs=(P(AXIS),) * 3)
+    def run(nf_l, dif_l):
+        sid = jax.lax.axis_index(AXIS)
+        n_dev = jax.lax.axis_size(AXIS)
+        cs = jnp.cumsum(dif_l, axis=1)  # (2, local_n)
+        totals = jax.lax.all_gather(cs[:, -1], AXIS)  # (n_dev, 2)
+        before = jnp.arange(n_dev, dtype=jnp.int32) < sid
+        prefix = jnp.sum(jnp.where(before[:, None], totals, 0), axis=0)
+        fill = (cs + prefix[:, None]) > 0
+        thr_K = ((nf_l & 1) != 0) | fill[0]
+        thr_R = ((nf_l & 2) != 0) | fill[1]
+        minima = (nf_l & 4) != 0
+        return thr_K, thr_R, minima
+
+    return run(nf, dif)
+
+
+def navigate_one_bwt_sharded_device(sfm: shard.ShardedFM, K: int,
+                                    k_right: int):
+    """Full sharded mode-1 navigation; flags STAY on device.
+
+    Returns (thr_K, thr_R, minima) — bool jax.Arrays of padded length
+    local_n * n_dev sharded P('pos') — plus (local_n, stats). Positions
+    >= sfm.n are padding (their flags are always False: no traversal
+    write targets them).
+    """
+    mesh = sfm.mesh
+    n_dev = mesh.devices.size
+    local_n = -(-(sfm.n + 2) // n_dev)  # room for deltas at n and n+1
+    pad_n = local_n * n_dev
+    queue_cap = max(1 << 18, sfm.n // 32)
+
+    Fh = np.asarray(sfm.F)
     dif = jax.device_put(np.zeros((2, pad_n), np.int32),
                          NamedSharding(mesh, P(None, AXIS)))
-    init = np.array([[0, Fh[0], 0]], np.int32)
+    init_l = np.array([[0, Fh[0], 0]], np.int32)
     dif, st_l, _ = _sharded_leaf_phase(
-        mesh, blocks, jnp.asarray(F), jnp.asarray(init), dif,
-        rows_per_shard=rows, local_n=local_n,
-        queue_cap=max(1 << 18, pb.n // 32), chunk=4096, K=K, k_right=k_right,
+        mesh, sfm.blocks, sfm.F, jnp.asarray(init_l), dif,
+        rows_per_shard=sfm.rows, local_n=local_n,
+        queue_cap=queue_cap, chunk=4096, K=K, k_right=k_right,
     )
-    dif_h = np.asarray(dif)
-    fill_K = np.cumsum(dif_h[0][: pb.n]) > 0
-    fill_R = np.cumsum(dif_h[1][: pb.n]) > 0
 
-    thr_K, thr_R, minima, st_n = navigate_nodes_sharded(pb, mesh, K, k_right)
-    thr_K = (thr_K | fill_K).astype(np.uint8)
-    thr_R = (thr_R | fill_R).astype(np.uint8)
-    return thr_K, thr_R, minima, (st_l, st_n)
+    nf = jax.device_put(np.zeros(pad_n, np.int32),
+                        NamedSharding(mesh, P(AXIS)))
+    init_n = np.array([[0, Fh[0], Fh[1], Fh[2], Fh[3], sfm.n, 0]], np.int32)
+    nf, st_n, _ = _sharded_node_phase(
+        mesh, sfm.blocks, sfm.F, jnp.asarray(init_n), nf,
+        rows_per_shard=sfm.rows, local_n=local_n,
+        queue_cap=queue_cap, chunk=4096, K=K, k_right=k_right,
+    )
+
+    thr_K, thr_R, minima = _combine_flags(mesh, nf, dif)
+    return thr_K, thr_R, minima, (local_n, (st_l, st_n))
+
+
+def navigate_one_bwt_sharded(pb: PackedBwt, mesh, K: int, k_right: int):
+    """Host-array wrapper over navigate_one_bwt_sharded_device, equivalent
+    to models.traverse.navigate_one_bwt (parity-tested)."""
+    sfm = shard.shard_fm(pb, mesh)
+    thr_K, thr_R, minima, (_, stats) = navigate_one_bwt_sharded_device(
+        sfm, K, k_right
+    )
+    return (np.asarray(thr_K)[: pb.n].astype(np.uint8),
+            np.asarray(thr_R)[: pb.n].astype(np.uint8),
+            np.asarray(minima)[: pb.n].astype(np.uint8), stats)

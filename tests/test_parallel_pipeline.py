@@ -1,0 +1,68 @@
+"""End-to-end SHARDED mode-1 pipeline tests on the 8-device virtual CPU
+mesh: the .snp produced from a mesh run must be byte-identical to the
+single-device pipeline (itself golden-tested against the reference binary)
+and, when the reference is built, to the reference binary directly."""
+
+import os
+import subprocess
+
+import pytest
+
+from ebwt2indel_tpu.models import pipeline as mpipe
+from ebwt2indel_tpu.parallel import pipeline as ppipe
+from ebwt2indel_tpu.parallel import shard
+from ebwt2indel_tpu.utils.config import Config
+from tests.test_parity import REF_BIN, make_dataset, needs_ref
+
+
+def _quiet(*a, **k):
+    pass
+
+
+def test_sharded_mode1_matches_single_device(tmp_path, rng):
+    path, _ = make_dataset(str(tmp_path), rng, genome_len=5000, coverage=12)
+    one = str(tmp_path / "one.snp")
+    mesh_out = str(tmp_path / "mesh.snp")
+
+    mpipe.run_one_dataset(Config(input1=path, output=one), log=_quiet)
+    mesh = shard.make_mesh(8)
+    stats = ppipe.run_one_dataset_sharded(
+        Config(input1=path, output=mesh_out), mesh, log=_quiet
+    )
+    assert open(one, "rb").read() == open(mesh_out, "rb").read()
+    assert stats["n_clusters"] > 0
+
+
+@needs_ref
+def test_sharded_mode1_matches_reference(tmp_path, rng):
+    path, _ = make_dataset(str(tmp_path), rng, genome_len=5000, coverage=12)
+    ref_out = str(tmp_path / "ref.snp")
+    mesh_out = str(tmp_path / "mesh.snp")
+    subprocess.run([REF_BIN, "-1", path, "-o", ref_out, "-m", "2", "-k",
+                    "12"], check=True, capture_output=True)
+
+    mesh = shard.make_mesh(8)
+    cfg = Config(input1=path, output=mesh_out)
+    cfg.mcov_out = 2
+    cfg.K = 12
+    ppipe.run_one_dataset_sharded(cfg, mesh, log=_quiet)
+    assert open(ref_out, "rb").read() == open(mesh_out, "rb").read()
+
+
+def test_sharded_cli_switch(tmp_path, rng):
+    """EBWT_MESH routes the CLI through the sharded pipeline."""
+    path, _ = make_dataset(str(tmp_path), rng, genome_len=3000, coverage=10)
+    one = str(tmp_path / "one.snp")
+    mesh_out = str(tmp_path / "mesh.snp")
+    mpipe.run_one_dataset(Config(input1=path, output=one), log=_quiet)
+
+    env = dict(os.environ, EBWT_MESH="8", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        ["python", "-m", "ebwt2indel_tpu.cli", "-1", path, "-o", mesh_out],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "mesh" in r.stdout  # sharded banner
+    assert open(one, "rb").read() == open(mesh_out, "rb").read()
