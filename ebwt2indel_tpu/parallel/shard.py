@@ -104,21 +104,12 @@ def shard_packed(pb: PackedBwt, mesh: Mesh):
     return sfm.blocks, sfm.block_counts, sfm.F, sfm.rows
 
 
-def local_parallel_rank(blocks_local, rows_per_shard, i):
-    """Per-shard contribution to parallel_rank inside a shard_map region:
-    decode the queries whose block rows this shard owns, zero elsewhere;
-    combine across shards with a psum. i: int32 [...] -> int32 [..., 4].
-
-    Dense-lane formulation of ops.rank.parallel_rank (the batch in the
-    minor dimension so the VPU popcounts run on full lanes)."""
-    sid = jax.lax.axis_index(AXIS)
-    base = sid * rows_per_shard
-    shape = i.shape
-    i = i.reshape(-1)
+def _local_decode(blocks_local, rows_per_shard, base, i):
+    """Dense-lane rank decode of a flat query vector against local block
+    rows (batch in the minor dimension so the VPU popcounts run on full
+    lanes). Out-of-shard queries decode garbage — callers mask or drop."""
     b = jax.lax.shift_right_logical(i, 7)
-    local = b - base
-    mine = (local >= 0) & (local < rows_per_shard)
-    safe = jnp.clip(local, 0, rows_per_shard - 1)
+    safe = jnp.clip(b - base, 0, rows_per_shard - 1)
     o = i & jnp.int32(127)
     rowT = blocks_local[safe].T
     p0, p1, p2 = rowT[0:4], rowT[4:8], rowT[8:12]
@@ -137,10 +128,58 @@ def local_parallel_rank(blocks_local, rows_per_shard, i):
     x = pc(t0).sum(axis=0, dtype=jnp.int32)
     y = pc(tt1).sum(axis=0, dtype=jnp.int32)
     z = pc(t2).sum(axis=0, dtype=jnp.int32)
-    out = jnp.stack(
+    return jnp.stack(
         [cnt[0] + (S - x - y + z), cnt[1] + (x - z), cnt[2] + (y - z),
          cnt[3] + z], axis=-1)
-    out = jnp.where(mine.reshape(-1)[:, None], out, 0)
+
+
+def local_parallel_rank(blocks_local, rows_per_shard, i):
+    """Per-shard contribution to parallel_rank inside a shard_map region:
+    decode the queries whose block rows this shard owns, zero elsewhere;
+    combine across shards with a psum. i: int32 [...] -> int32 [..., 4].
+
+    OWNED-QUERY COMPACTION: the query vector is replicated (every shard
+    holds all B queries), so routing needs no communication — each shard
+    scatters the indices of its owned queries into a compact
+    2B/n_dev-slot buffer, decodes only that buffer, and scatters answers
+    back. Per-shard decode work is O(B/n_dev); total decode work stays O(B)
+    regardless of mesh size (the round-1 replicated-decode formulation did
+    O(B) per shard). The rare shard whose owned count overflows the 2x
+    slack buffer falls back to dense local decode (lax.cond, local-only
+    branches — the psum stays outside)."""
+    sid = jax.lax.axis_index(AXIS)
+    n_dev = jax.lax.axis_size(AXIS)
+    base = sid * rows_per_shard
+    shape = i.shape
+    i = i.reshape(-1)
+    B = i.shape[0]
+    b = jax.lax.shift_right_logical(i, 7)
+    local = b - base
+    mine = (local >= 0) & (local < rows_per_shard)
+
+    if n_dev == 1:
+        out = _local_decode(blocks_local, rows_per_shard, base, i)
+        out = jnp.where(mine[:, None], out, 0)
+        return out.reshape(shape + (4,))
+
+    cap = max(128, -(-2 * B // n_dev))  # 2x slack over a balanced split
+    slot = jnp.cumsum(mine.astype(jnp.int32)) - 1
+    count = slot[-1] + 1
+    tgt = jnp.where(mine, slot, cap)
+
+    def compact_path(_):
+        qbuf = jnp.zeros(cap, jnp.int32).at[tgt].set(i, mode="drop")
+        back = jnp.full(cap, B, jnp.int32).at[tgt].set(
+            jnp.arange(B, dtype=jnp.int32), mode="drop"
+        )
+        dec = _local_decode(blocks_local, rows_per_shard, base, qbuf)
+        return jnp.zeros((B, 4), jnp.int32).at[back].set(dec, mode="drop")
+
+    def dense_path(_):
+        out = _local_decode(blocks_local, rows_per_shard, base, i)
+        return jnp.where(mine[:, None], out, 0)
+
+    out = jax.lax.cond(count <= cap, compact_path, dense_path, None)
     return out.reshape(shape + (4,))
 
 
@@ -176,23 +215,9 @@ def sharded_parallel_rank(mesh: Mesh, rows_per_shard: int):
         out_specs=P(),
     )
     def _rank(blocks_local, i):
-        shard = jax.lax.axis_index(AXIS)
-        base = shard * rows_per_shard  # first block row owned
-        b = jax.lax.shift_right_logical(i, 7)
-        local = b - base
-        mine = (local >= 0) & (local < rows_per_shard)
-        safe = jnp.clip(local, 0, rows_per_shard - 1)
-        # local rank computation on owned rows
-        o = i & jnp.int32(127)
-        row = blocks_local[safe]
-        masks = rank._prefix_masks(o)
-        chars = rank._char_plane_words(row)
-        inblock = jax.lax.population_count(chars & masks[..., None, :]).sum(
-            axis=-1, dtype=jnp.int32
+        return jax.lax.psum(
+            local_parallel_rank(blocks_local, rows_per_shard, i), AXIS
         )
-        counts = row[..., 12:16].astype(jnp.int32) + inblock
-        counts = jnp.where(mine[..., None], counts, 0)
-        return jax.lax.psum(counts, AXIS)
 
     return _rank
 

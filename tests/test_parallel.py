@@ -24,6 +24,21 @@ def test_sharded_rank_matches_local(rng):
         np.testing.assert_array_equal(row, oracle.rank_oracle(codes, int(q)))
 
 
+def test_sharded_rank_skewed_queries_fallback(rng):
+    """All queries landing on ONE shard overflows the 2B/n_dev compaction
+    buffer and must take the dense-decode fallback — answers still exact."""
+    mesh = shard.make_mesh(8)
+    codes = random_codes(rng, 50000)
+    pb = packing.pack_codes(codes)
+    blocks, bcounts, F, rows = shard.shard_packed(pb, mesh)
+    ranker = shard.sharded_parallel_rank(mesh, rows)
+    # every query inside shard 0's position range [0, rows*128)
+    qs = rng.integers(0, min(rows * 128, pb.n), size=512).astype(np.int32)
+    got = np.asarray(jax.jit(ranker)(blocks, jnp.asarray(qs)))
+    for q, row in zip(qs[:64], got[:64]):
+        np.testing.assert_array_equal(row, oracle.rank_oracle(codes, int(q)))
+
+
 def test_sharded_cluster_scan(rng):
     mesh = shard.make_mesh(8)
     n = 8 * 1000
