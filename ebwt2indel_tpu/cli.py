@@ -136,15 +136,21 @@ def main(argv=None) -> int:
     n_mesh = int(os.environ.get("EBWT_MESH", "0") or 0)
 
     try:
-        if cfg.input2:
-            pipeline.run_two_datasets(cfg)
-        elif cfg.input_da:
-            pipeline.run_two_datasets_da(cfg)
-        elif n_mesh > 1:
+        if n_mesh > 1:
             from .parallel import pipeline as ppipe
             from .parallel import shard
 
-            ppipe.run_one_dataset_sharded(cfg, shard.make_mesh(n_mesh))
+            mesh = shard.make_mesh(n_mesh)
+            if cfg.input2:
+                ppipe.run_two_datasets_sharded(cfg, mesh)
+            elif cfg.input_da:
+                ppipe.run_two_datasets_da_sharded(cfg, mesh)
+            else:
+                ppipe.run_one_dataset_sharded(cfg, mesh)
+        elif cfg.input2:
+            pipeline.run_two_datasets(cfg)
+        elif cfg.input_da:
+            pipeline.run_two_datasets_da(cfg)
         else:
             pipeline.run_one_dataset(cfg)
     except ValueError as e:

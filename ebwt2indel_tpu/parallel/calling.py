@@ -114,6 +114,65 @@ def next_set_table_sharded(mesh, thr_R, *, local_n, n):
 
 
 # ---------------------------------------------------------------------------
+# sharded document-array rank (modes 2/3: per-BWT sub-ranges of clusters —
+# the reference scans its vector<bool> DA sequentially, ebwt2InDel.cpp:1431)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def bv_build_sharded(mesh, da):
+    """Rank acceleration over a sharded boolean vector: per-shard inclusive
+    cumsum (stays sharded) + replicated per-shard totals."""
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS),),
+             out_specs=(P(AXIS), P()), check_vma=False)
+    def run(da_l):
+        cs = jnp.cumsum(da_l.astype(jnp.int32))
+        return cs, jax.lax.all_gather(cs[-1], AXIS)
+
+    return run(da)
+
+
+@partial(jax.jit, static_argnames=("mesh", "local_n"))
+def bv_rank1_sharded(mesh, cs, totals, i, *, local_n):
+    """Number of ones before position i (replicated queries, sharded
+    cumsum): owning shard answers local prefix + cross-shard prefix of
+    totals; psum combines."""
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS), P(), P()),
+             out_specs=P(), check_vma=False)
+    def run(cs_l, tot, q):
+        sid = jax.lax.axis_index(AXIS)
+        n_dev = jax.lax.axis_size(AXIS)
+        local = q - sid * local_n
+        mine = (local >= 0) & (local < local_n)
+        before = jnp.sum(jnp.where(
+            jnp.arange(n_dev, dtype=jnp.int32) < sid, tot, 0))
+        v = jnp.where(local > 0,
+                      cs_l[jnp.clip(local - 1, 0, local_n - 1)], 0) + before
+        return jax.lax.psum(jnp.where(mine, v, 0), AXIS)
+
+    return run(cs, totals, i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "local_n"))
+def bv_get_sharded(mesh, da, i, *, local_n):
+    """Gather a sharded boolean vector at replicated positions."""
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS), P()),
+             out_specs=P(), check_vma=False)
+    def run(da_l, q):
+        sid = jax.lax.axis_index(AXIS)
+        local = q - sid * local_n
+        mine = (local >= 0) & (local < local_n)
+        v = da_l[jnp.clip(local, 0, local_n - 1)]
+        return jax.lax.psum(
+            jnp.where(mine, v, False).astype(jnp.int32), AXIS) != 0
+
+    return run(da, i)
+
+
+# ---------------------------------------------------------------------------
 # phase 4: sharded cluster enumeration
 # ---------------------------------------------------------------------------
 

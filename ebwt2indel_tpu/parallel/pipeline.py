@@ -49,7 +49,7 @@ def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
     t2 = time.perf_counter()
     st_l = np.asarray(st_l)
     st_n = np.asarray(st_n)
-    lcp_values = int(st_l[1]) + int(st_n[1])
+    lcp_values = 1 + int(st_l[1]) + int(st_n[1])
     log(f"Computed {lcp_values}/{pb.n} LCP values.")
     log(f"Found {int(st_n[2])} LCP minima.")
     log(f"Processed {int(st_l[0])} suffix-tree leaves and {int(st_n[0])} "
@@ -149,3 +149,268 @@ def _call_and_emit_single_sharded(sfm: shard.ShardedFM, cl, next_thr,
             out_f, cfg, found, passes[sel], freq, full, support,
             ctx_ascii, seq_ascii, seqlen,
         )
+
+
+# ---------------------------------------------------------------------------
+# mode 2 — two collections, implicit merge (sharded)
+# ---------------------------------------------------------------------------
+
+
+def run_two_datasets_sharded(cfg: Config, mesh, log=_log) -> dict:
+    cfg = cfg.resolved()
+    log("Phase 1/4: loading and indexing eBWTs ... ")
+    sfm1 = shard.shard_fm(packing.pack_file(cfg.input1, cfg.term), mesh)
+    sfm2 = shard.shard_fm(packing.pack_file(cfg.input2, cfg.term), mesh)
+    log("done.")
+
+    log(f"\nPhase 2-3/4: merged suffix-tree wavefront navigation "
+        f"({mesh.devices.size}-device mesh).")
+    thr_K, thr_R, minima, da, (local_n, (st_l, st_n)) = \
+        ptraverse.navigate_two_bwts_sharded_device(
+            sfm1, sfm2, cfg.K, cfg.k_right)
+    st_l = np.asarray(st_l)
+    st_n = np.asarray(st_n)
+    n = sfm1.n + sfm2.n
+    log(f"Computed {int(st_l[3]) + int(st_n[3])}/{n} DA values.")
+    log(f"Computed {1 + int(st_l[1]) + int(st_n[1])}/{n} LCP values.")
+    log(f"Found {int(st_n[2])} LCP minima.")
+    log(f"Processed {int(st_l[0])} suffix-tree leaves and {int(st_n[0])} "
+        f"nodes.\n")
+
+    log("Phase 4/4: detecting SNPs and indels.")
+    log(f"Output events will be stored in {cfg.output}")
+
+    next_thr = calling.next_set_table_sharded(mesh, thr_R,
+                                              local_n=local_n, n=n)
+    cl = calling.find_clusters_sharded(
+        mesh, thr_K, minima, local_n=local_n, n=n, mcov_out=cfg.mcov_out
+    )
+    da_cs, da_tot = calling.bv_build_sharded(mesh, da)
+
+    stats = _call_and_emit_pair_mode2_sharded(
+        sfm1, sfm2, cl, next_thr, (da_cs, da_tot, da), local_n, cfg
+    )
+    stats["lcp_values"] = 1 + int(st_l[1]) + int(st_n[1])
+    stats["da_values"] = int(st_l[3]) + int(st_n[3])
+    stats["n_min"] = int(st_n[2])
+    stats["leaves"] = int(st_l[0])
+    stats["nodes"] = int(st_n[0])
+    stats["n_clusters"] = cl.n_clusters
+
+    avg = cl.clust_size_sum / cl.n_clusters if cl.n_clusters else float("nan")
+    log(f"\nDone.\nAnalyzed {cl.n_clusters} clusters.")
+    log(f"Average cluster length: {avg}.\n")
+    log(
+        "Distribution of bases inside clusters "
+        "(cluster length / number of bases inside clusters of that length): \n"
+    )
+    mpipe.print_histogram(cl.hist, log)
+    return stats
+
+
+def _call_and_emit_pair_mode2_sharded(sfm1, sfm2, cl, next_thr, da_pack,
+                                      local_n, cfg) -> dict:
+    mesh = sfm1.mesh
+    da_cs, da_tot, da = da_pack
+    B = len(cl.begins)
+    with open(cfg.output, "w") as out_f:
+        writer = emit.SnpWriter(
+            out_f, complexity=cfg.complexity, max_snvs=cfg.max_snvs,
+            mcov_out=cfg.mcov_out, max_gap=cfg.max_gap,
+        )
+        if B == 0:
+            return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+        begins = jnp.asarray(cl.begins, jnp.int32)
+        ends = jnp.asarray(cl.ends, jnp.int32)
+        b1 = calling.bv_rank1_sharded(mesh, da_cs, da_tot, begins,
+                                      local_n=local_n)
+        e1 = calling.bv_rank1_sharded(mesh, da_cs, da_tot, ends,
+                                      local_n=local_n)
+        b0 = begins - b1
+        e0 = ends - e1
+
+        quirk0_d, _ = calling.range_counts_sharded(
+            mesh, sfm1.blocks, sfm1.F, b0, e0, rows=sfm1.rows)
+        quirk1_d, _ = calling.range_counts_sharded(
+            mesh, sfm2.blocks, sfm2.F, b1, e1, rows=sfm2.rows)
+        passes_d = mpipe._pair_passes(quirk0_d, quirk1_d, cfg)
+        passes = bits.host_unpackbits(
+            np.asarray(bits.device_packbits(passes_d)), B
+        ).astype(bool)
+        sel = np.flatnonzero(passes)
+        if len(sel) == 0:
+            return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+        sel_d = jnp.asarray(sel, jnp.int32)
+        ctx0, support0, full0 = calling.extract_consensus_sharded(
+            mesh, sfm1.blocks, sfm1.F, b0[sel_d], e0[sel_d],
+            rows=sfm1.rows, k_left=cfg.k_left)
+        ctx1, support1, full1 = calling.extract_consensus_sharded(
+            mesh, sfm2.blocks, sfm2.F, b1[sel_d], e1[sel_d],
+            rows=sfm2.rows, k_left=cfg.k_left)
+
+        pos_d, found_d = calling.first_thr_position_sharded(
+            mesh, next_thr, begins[sel_d], ends[sel_d], local_n=local_n
+        )
+        hit1 = calling.bv_rank1_sharded(mesh, da_cs, da_tot, pos_d,
+                                        local_n=local_n)
+        hit0 = pos_d - hit1
+        da_at_d = calling.bv_get_sharded(mesh, da, pos_d, local_n=local_n)
+        seq_a, len_a = calling.extract_dna_sharded(
+            mesh, sfm1.blocks, sfm1.block_counts, sfm1.F, sfm1.bounds,
+            hit0, found_d & ~da_at_d, rows=sfm1.rows, k_right=cfg.k_right)
+        seq_b, len_b = calling.extract_dna_sharded(
+            mesh, sfm2.blocks, sfm2.block_counts, sfm2.F, sfm2.bounds,
+            hit1, found_d & da_at_d, rows=sfm2.rows, k_right=cfg.k_right)
+        da_at = np.asarray(da_at_d)
+        found = np.asarray(found_d)
+        seq = np.where(da_at[:, None], np.asarray(seq_b), np.asarray(seq_a))
+        seqlen = np.where(da_at, np.asarray(len_b), np.asarray(len_a))
+
+        mpipe._emit_pair_clusters(
+            writer, cfg, len(sel), found,
+            np.asarray(quirk0_d[sel_d]), np.asarray(quirk1_d[sel_d]),
+            np.asarray(support0), np.asarray(support1),
+            np.asarray(full0), np.asarray(full1),
+            mpipe._decode_rows(np.asarray(ctx0), cfg.term),
+            mpipe._decode_rows(np.asarray(ctx1), cfg.term),
+            mpipe._decode_rows(seq, cfg.term), seqlen,
+        )
+        return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+
+# ---------------------------------------------------------------------------
+# mode 3 — merged BWT + document array (sharded)
+# ---------------------------------------------------------------------------
+
+
+def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
+    from ..utils import dna
+
+    cfg = cfg.resolved()
+    log("Phase 1/4: loading and indexing eBWT ... ")
+    codes = packing.read_ebwt_codes(cfg.input1, cfg.term)
+    pb = packing.pack_codes(codes, cfg.term)
+    sfm = shard.shard_fm(pb, mesh)
+    log("done.")
+
+    log(f"\nPhase 2-3/4: suffix-tree wavefront navigation "
+        f"({mesh.devices.size}-device mesh).")
+    thr_K, thr_R, minima, (local_n, (st_l, st_n)) = \
+        ptraverse.navigate_one_bwt_sharded_device(sfm, cfg.K, cfg.k_right)
+    st_l = np.asarray(st_l)
+    st_n = np.asarray(st_n)
+    log(f"Computed {1 + int(st_l[1]) + int(st_n[1])}/{pb.n} LCP values.")
+    log(f"Found {int(st_n[2])} LCP minima.\n")
+
+    log("Phase 4/4: detecting SNPs and indels.")
+    log(f"Output events will be stored in {cfg.output}")
+
+    da_h = packing.read_da_file(cfg.input_da, pb.n)
+    # rank structure over the DA=1 side: DA=0 characters replaced by TERM
+    # (SURVEY.md §7 layer 5) — a second sharded index
+    codes_da1 = np.where(da_h != 0, codes, np.uint8(dna.TERM_CODE))
+    sfm_da1 = shard.shard_fm(packing.pack_codes(codes_da1, cfg.term), mesh)
+    pad_n = local_n * mesh.devices.size
+    da_pad = np.zeros(pad_n, bool)
+    da_pad[: pb.n] = da_h != 0
+    da = jax.device_put(
+        da_pad, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(shard.AXIS)))
+    da_cs, da_tot = calling.bv_build_sharded(mesh, da)
+
+    next_thr = calling.next_set_table_sharded(mesh, thr_R,
+                                              local_n=local_n, n=pb.n)
+    cl = calling.find_clusters_sharded(
+        mesh, thr_K, minima, local_n=local_n, n=pb.n, mcov_out=cfg.mcov_out
+    )
+
+    stats = _call_and_emit_pair_mode3_sharded(
+        sfm, sfm_da1, cl, next_thr, (da_cs, da_tot), local_n, cfg
+    )
+    stats["lcp_values"] = 1 + int(st_l[1]) + int(st_n[1])
+    stats["n_min"] = int(st_n[2])
+    stats["leaves"] = int(st_l[0])
+    stats["nodes"] = int(st_n[0])
+    stats["n_clusters"] = cl.n_clusters
+
+    avg = cl.clust_size_sum / cl.n_clusters if cl.n_clusters else float("nan")
+    log(f"\nDone.\nAnalyzed {cl.n_clusters} clusters.")
+    log(f"Average cluster length: {avg}.\n")
+    log(
+        "Distribution of bases inside clusters "
+        "(cluster length / number of bases inside clusters of that length): \n"
+    )
+    mpipe.print_histogram(cl.hist, log)
+    # mode-3 quirk: the reference prints the (never-incremented) `events`
+    # counter here — always 0 (ebwt2InDel.cpp:1577)
+    log(
+        f"\nStored to file 0 sequences clustered in "
+        f"{stats['cluster_nr'] - 1} clusters."
+    )
+    return stats
+
+
+def _call_and_emit_pair_mode3_sharded(sfm, sfm_da1, cl, next_thr, da_pack,
+                                      local_n, cfg) -> dict:
+    mesh = sfm.mesh
+    da_cs, da_tot = da_pack
+    B = len(cl.begins)
+    with open(cfg.output, "w") as out_f:
+        writer = emit.SnpWriter(
+            out_f, complexity=cfg.complexity, max_snvs=cfg.max_snvs,
+            mcov_out=cfg.mcov_out, max_gap=cfg.max_gap,
+        )
+        if B == 0:
+            return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+        begins = jnp.asarray(cl.begins, jnp.int32)
+        ends = jnp.asarray(cl.ends, jnp.int32)
+
+        _, pure_all = calling.range_counts_sharded(
+            mesh, sfm.blocks, sfm.F, begins, ends, rows=sfm.rows)
+        _, pure_1 = calling.range_counts_sharded(
+            mesh, sfm_da1.blocks, sfm_da1.F, begins, ends, rows=sfm_da1.rows)
+        len1 = (calling.bv_rank1_sharded(mesh, da_cs, da_tot, ends,
+                                         local_n=local_n)
+                - calling.bv_rank1_sharded(mesh, da_cs, da_tot, begins,
+                                           local_n=local_n))
+        len_all = ends - begins
+        pure_0 = pure_all - pure_1
+        quirk1_d = pure_1.at[:, 0].add(len1 - pure_1.sum(axis=1))
+        quirk0_d = pure_0.at[:, 0].add((len_all - len1) - pure_0.sum(axis=1))
+
+        passes_d = mpipe._pair_passes(quirk0_d, quirk1_d, cfg)
+        passes = bits.host_unpackbits(
+            np.asarray(bits.device_packbits(passes_d)), B
+        ).astype(bool)
+        sel = np.flatnonzero(passes)
+        if len(sel) == 0:
+            return {"events": writer.events, "cluster_nr": writer.cluster_nr}
+
+        sel_d = jnp.asarray(sel, jnp.int32)
+        sb = begins[sel_d]
+        se = ends[sel_d]
+        ctx, support, full = calling.extract_consensus_sharded(
+            mesh, sfm.blocks, sfm.F, sb, se, rows=sfm.rows,
+            k_left=cfg.k_left)
+        pos_d, found_d = calling.first_thr_position_sharded(
+            mesh, next_thr, sb, se, local_n=local_n
+        )
+        found = np.asarray(found_d)
+        seq, seqlen = calling.extract_dna_sharded(
+            mesh, sfm.blocks, sfm.block_counts, sfm.F, sfm.bounds,
+            pos_d, found_d, rows=sfm.rows, k_right=cfg.k_right)
+
+        ctx_ascii = mpipe._decode_rows(np.asarray(ctx), cfg.term)
+        mpipe._emit_pair_clusters(
+            writer, cfg, len(sel), found,
+            np.asarray(quirk0_d[sel_d]), np.asarray(quirk1_d[sel_d]),
+            np.asarray(support), np.asarray(support),
+            np.asarray(full), np.asarray(full),
+            ctx_ascii, ctx_ascii,
+            mpipe._decode_rows(np.asarray(seq), cfg.term),
+            np.asarray(seqlen),
+        )
+        return {"events": writer.events, "cluster_nr": writer.cluster_nr}

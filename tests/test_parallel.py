@@ -94,6 +94,40 @@ def test_sharded_node_phase_matches_single_device(rng):
     assert stats[0] > 0
 
 
+def test_sharded_pair_navigation_matches_single_device(rng):
+    """Sharded lockstep (two-BWT) navigation must reproduce the
+    single-device navigate_two_bwts flags — incl. the DA — exactly."""
+    from ebwt2indel_tpu.models import fm_index, traverse
+    from ebwt2indel_tpu.ops import packing
+    from ebwt2indel_tpu.parallel import traverse as ptrav
+    from ebwt2indel_tpu.tools import ebwt as ebwt_tool
+    from ebwt2indel_tpu.utils import dna
+
+    genome = "".join(rng.choice(list("ACGT"), size=450))
+    reads1 = [genome[i:i + 55] for i in range(0, 390, 5)]
+    genome2 = list(genome)
+    for p in rng.integers(0, len(genome2), size=6):
+        genome2[p] = "ACGT"[rng.integers(0, 4)]
+    genome2 = "".join(genome2)
+    reads2 = [genome2[i:i + 55] for i in range(2, 390, 5)]
+    pb1 = packing.pack_codes(dna.str_to_codes(ebwt_tool.ebwt_of_reads(reads1)))
+    pb2 = packing.pack_codes(dna.str_to_codes(ebwt_tool.ebwt_of_reads(reads2)))
+    K, k_right = 7, 11
+
+    mesh = shard.make_mesh(8)
+    thr_K, thr_R, minima, da, _ = ptrav.navigate_two_bwts_sharded(
+        pb1, pb2, mesh, K, k_right
+    )
+
+    fm1 = fm_index.FMIndex.from_packed(pb1)
+    fm2 = fm_index.FMIndex.from_packed(pb2)
+    res = traverse.navigate_two_bwts(fm1, fm2, K, k_right)
+    np.testing.assert_array_equal(thr_K, np.asarray(res.thr_K))
+    np.testing.assert_array_equal(thr_R, np.asarray(res.thr_R))
+    np.testing.assert_array_equal(minima, np.asarray(res.minima))
+    np.testing.assert_array_equal(da, np.asarray(res.da))
+
+
 def test_sharded_full_navigation_matches_single_device(rng):
     """Sharded leaf+node phases must reproduce the single-device
     navigate_one_bwt flags exactly."""

@@ -49,6 +49,59 @@ def test_sharded_mode1_matches_reference(tmp_path, rng):
     assert open(ref_out, "rb").read() == open(mesh_out, "rb").read()
 
 
+def test_sharded_mode2_matches_single_device(tmp_path, rng):
+    from ebwt2indel_tpu.tools import ebwt, simulate
+
+    genome = simulate.random_genome(rng, 5000)
+    hap2, _ = simulate.plant_variants(rng, genome, snp_rate=0.004,
+                                      indel_rate=0.001)
+    p1 = str(tmp_path / "a.ebwt")
+    p2 = str(tmp_path / "b.ebwt")
+    open(p1, "w").write(
+        ebwt.ebwt_of_reads(simulate.sample_reads(rng, genome, 8, 80)))
+    open(p2, "w").write(
+        ebwt.ebwt_of_reads(simulate.sample_reads(rng, hap2, 8, 80)))
+
+    one = str(tmp_path / "one.snp")
+    mesh_out = str(tmp_path / "mesh.snp")
+    mpipe.run_two_datasets(Config(input1=p1, input2=p2, output=one),
+                           log=_quiet)
+    mesh = shard.make_mesh(8)
+    stats = ppipe.run_two_datasets_sharded(
+        Config(input1=p1, input2=p2, output=mesh_out), mesh, log=_quiet
+    )
+    assert open(one, "rb").read() == open(mesh_out, "rb").read()
+    assert os.path.getsize(one) > 0
+    assert stats["n_clusters"] > 0
+
+
+def test_sharded_mode3_matches_single_device(tmp_path, rng):
+    from ebwt2indel_tpu.tools import ebwt, simulate
+
+    genome = simulate.random_genome(rng, 5000)
+    hap2, _ = simulate.plant_variants(rng, genome, snp_rate=0.004,
+                                      indel_rate=0.001)
+    reads1 = simulate.sample_reads(rng, genome, 8, 80)
+    reads2 = simulate.sample_reads(rng, hap2, 8, 80)
+    bwt, da = ebwt.ebwt_and_da_of_two(reads1, reads2)
+    p = str(tmp_path / "merged.ebwt")
+    pda = str(tmp_path / "merged.da")
+    open(p, "w").write(bwt)
+    open(pda, "w").write(da)
+
+    one = str(tmp_path / "one.snp")
+    mesh_out = str(tmp_path / "mesh.snp")
+    mpipe.run_two_datasets_da(Config(input1=p, input_da=pda, output=one),
+                              log=_quiet)
+    mesh = shard.make_mesh(8)
+    stats = ppipe.run_two_datasets_da_sharded(
+        Config(input1=p, input_da=pda, output=mesh_out), mesh, log=_quiet
+    )
+    assert open(one, "rb").read() == open(mesh_out, "rb").read()
+    assert os.path.getsize(one) > 0
+    assert stats["n_clusters"] > 0
+
+
 def test_sharded_cli_switch(tmp_path, rng):
     """EBWT_MESH routes the CLI through the sharded pipeline."""
     path, _ = make_dataset(str(tmp_path), rng, genome_len=3000, coverage=10)
