@@ -40,41 +40,72 @@ def run_reference(args):
     subprocess.run([REF_BIN] + args, check=True, capture_output=True)
 
 
-@needs_ref
-@pytest.mark.parametrize("extra", [
-    [],                      # defaults
+_FLAG_ATTR = {
+    "-m": "mcov_out", "-k": "K", "-g": "max_gap", "-v": "max_snvs",
+    "-c": "complexity", "-q": "max_variants_per_position",
+    "-L": "k_left", "-R": "k_right",
+}
+
+
+def apply_flags(cfg, extra):
+    """Mirror the CLI's getopt mapping (cli.py) onto a Config."""
+    it = iter(extra)
+    for flag, val in zip(it, it):
+        setattr(cfg, _FLAG_ATTR[flag], int(val))
+    return cfg
+
+
+# Flag matrix (reference handling: ebwt2InDel.cpp:961-966 for -q in mode 1,
+# 872-873/1044-1045 for the pair modes, 1159/1282 for -c).
+FLAG_SETS = [
+    [],                       # defaults
     ["-m", "2", "-k", "12"],  # lower coverage/LCP thresholds
     ["-g", "3", "-v", "1"],   # smaller gap, stricter SNV filter
-])
+    ["-c", "2"],              # aggressive low-complexity context filter
+    ["-q", "1"],              # max one variant per position per sample
+]
+
+# -q 1 legitimately empties mode-1 output (every event needs two alleles
+# from the one sample, ebwt2InDel.cpp:962) — parity is still asserted, but
+# skip the "produced events" check. test_mode1_q_filter_triallelic covers
+# the discriminating case.
+_MAY_EMPTY = {("-q", "1")}
+
+
+def _may_empty(extra):
+    return tuple(extra) in _MAY_EMPTY
+
+
+@needs_ref
+@pytest.mark.parametrize("extra", FLAG_SETS)
 def test_mode1_byte_parity(tmp_path, rng, extra):
     path, _ = make_dataset(str(tmp_path), rng)
     ref_out = str(tmp_path / "ref.snp")
     got_out = str(tmp_path / "got.snp")
     run_reference(["-1", path, "-o", ref_out] + extra)
 
-    cfg = Config(input1=path, output=got_out)
-    it = iter(extra)
-    for flag, val in zip(it, it):
-        { "-m": lambda v: setattr(cfg, "mcov_out", int(v)),
-          "-k": lambda v: setattr(cfg, "K", int(v)),
-          "-g": lambda v: setattr(cfg, "max_gap", int(v)),
-          "-v": lambda v: setattr(cfg, "max_snvs", int(v)),
-        }[flag](val)
+    cfg = apply_flags(Config(input1=path, output=got_out), extra)
     pipeline.run_one_dataset(cfg, log=lambda *a, **k: None)
 
     ref_bytes = open(ref_out, "rb").read()
     got_bytes = open(got_out, "rb").read()
     assert got_bytes == ref_bytes
-    assert len(ref_bytes) > 0  # dataset must actually produce events
+    assert _may_empty(extra) or len(ref_bytes) > 0
 
 
-@needs_ref
-def test_mode2_byte_parity(tmp_path, rng):
+def _make_pair_inputs(tmp_path, rng):
     genome = simulate.random_genome(rng, 5000)
     hap2, _ = simulate.plant_variants(rng, genome, snp_rate=0.004,
                                       indel_rate=0.001)
     reads1 = simulate.sample_reads(rng, genome, 8, 80)
     reads2 = simulate.sample_reads(rng, hap2, 8, 80)
+    return reads1, reads2
+
+
+@needs_ref
+@pytest.mark.parametrize("extra", FLAG_SETS)
+def test_mode2_byte_parity(tmp_path, rng, extra):
+    reads1, reads2 = _make_pair_inputs(tmp_path, rng)
     p1 = str(tmp_path / "a.ebwt")
     p2 = str(tmp_path / "b.ebwt")
     open(p1, "w").write(ebwt.ebwt_of_reads(reads1))
@@ -82,21 +113,18 @@ def test_mode2_byte_parity(tmp_path, rng):
 
     ref_out = str(tmp_path / "ref.snp")
     got_out = str(tmp_path / "got.snp")
-    run_reference(["-1", p1, "-2", p2, "-o", ref_out])
-    cfg = Config(input1=p1, input2=p2, output=got_out)
+    run_reference(["-1", p1, "-2", p2, "-o", ref_out] + extra)
+    cfg = apply_flags(Config(input1=p1, input2=p2, output=got_out), extra)
     pipeline.run_two_datasets(cfg, log=lambda *a, **k: None)
 
     assert open(got_out, "rb").read() == open(ref_out, "rb").read()
-    assert os.path.getsize(ref_out) > 0
+    assert _may_empty(extra) or os.path.getsize(ref_out) > 0
 
 
 @needs_ref
-def test_mode3_byte_parity(tmp_path, rng):
-    genome = simulate.random_genome(rng, 5000)
-    hap2, _ = simulate.plant_variants(rng, genome, snp_rate=0.004,
-                                      indel_rate=0.001)
-    reads1 = simulate.sample_reads(rng, genome, 8, 80)
-    reads2 = simulate.sample_reads(rng, hap2, 8, 80)
+@pytest.mark.parametrize("extra", FLAG_SETS)
+def test_mode3_byte_parity(tmp_path, rng, extra):
+    reads1, reads2 = _make_pair_inputs(tmp_path, rng)
     bwt, da = ebwt.ebwt_and_da_of_two(reads1, reads2)
     p = str(tmp_path / "merged.ebwt")
     pda = str(tmp_path / "merged.da")
@@ -105,10 +133,65 @@ def test_mode3_byte_parity(tmp_path, rng):
 
     ref_out = str(tmp_path / "ref.snp")
     got_out = str(tmp_path / "got.snp")
-    run_reference(["-1", p, "-d", pda, "-o", ref_out])
-    cfg = Config(input1=p, input_da=pda, output=got_out)
+    run_reference(["-1", p, "-d", pda, "-o", ref_out] + extra)
+    cfg = apply_flags(Config(input1=p, input_da=pda, output=got_out), extra)
     pipeline.run_two_datasets_da(cfg, log=lambda *a, **k: None)
 
+    assert open(got_out, "rb").read() == open(ref_out, "rb").read()
+    assert _may_empty(extra) or os.path.getsize(ref_out) > 0
+
+
+@needs_ref
+def test_mode1_q_filter_triallelic(tmp_path, rng):
+    """-q 2 must discard exactly the tri-allelic clusters (mode-1 filter at
+    ebwt2InDel.cpp:962) — build a dataset with deliberate 3-allele sites so
+    the filter discriminates (non-empty output that differs from default)."""
+    genome = simulate.random_genome(rng, 6000)
+    g = np.array(list(genome))
+    sites = rng.choice(len(g) - 200, size=12, replace=False) + 100
+    h2, h3 = g.copy(), g.copy()
+    for p in sites:
+        alts = [b for b in "ACGT" if b != g[p]]
+        h2[p], h3[p] = alts[0], alts[1]  # three alleles at p across samples
+    reads = (simulate.sample_reads(rng, genome, 6, 80)
+             + simulate.sample_reads(rng, "".join(h2), 6, 80)
+             + simulate.sample_reads(rng, "".join(h3), 6, 80))
+    path = str(tmp_path / "tri.ebwt")
+    open(path, "w").write(ebwt.ebwt_of_reads(reads))
+
+    outs = {}
+    for name, extra in [("def", []), ("q2", ["-q", "2"])]:
+        ref_out = str(tmp_path / f"ref_{name}.snp")
+        got_out = str(tmp_path / f"got_{name}.snp")
+        run_reference(["-1", path, "-o", ref_out, "-m", "2"] + extra)
+        cfg = apply_flags(Config(input1=path, output=got_out, mcov_out=2),
+                          extra)
+        pipeline.run_one_dataset(cfg, log=lambda *a, **k: None)
+        outs[name] = open(ref_out, "rb").read()
+        assert open(got_out, "rb").read() == outs[name]
+    assert len(outs["q2"]) > 0
+    assert outs["q2"] != outs["def"]  # the filter actually discriminated
+
+
+@needs_ref
+@pytest.mark.parametrize("seed,extra", [
+    (11, []),
+    (23, ["-m", "3", "-q", "2"]),
+])
+def test_mode1_randomized_differential_mid_scale(tmp_path, seed, extra):
+    """Mid-size (~1.2 Mb BWT) randomized differential run: catches
+    cluster-boundary / queue-overflow edge cases the 5 kb fixtures can't
+    reach. Gated behind EBWT_SLOW_TESTS=1 (~2 min each on CPU)."""
+    if not os.environ.get("EBWT_SLOW_TESTS"):
+        pytest.skip("set EBWT_SLOW_TESTS=1 to run mid-scale differential")
+    rng = np.random.default_rng(seed)
+    path, _ = make_dataset(str(tmp_path), rng, genome_len=100_000,
+                           coverage=12, read_len=100)
+    ref_out = str(tmp_path / "ref.snp")
+    got_out = str(tmp_path / "got.snp")
+    run_reference(["-1", path, "-o", ref_out] + extra)
+    cfg = apply_flags(Config(input1=path, output=got_out), extra)
+    pipeline.run_one_dataset(cfg, log=lambda *a, **k: None)
     assert open(got_out, "rb").read() == open(ref_out, "rb").read()
     assert os.path.getsize(ref_out) > 0
 
