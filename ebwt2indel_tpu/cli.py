@@ -133,9 +133,20 @@ def main(argv=None) -> int:
     # EBWT_MESH=<n> routes execution through the sharded pipeline over an
     # n-device 'pos' mesh (multi-chip path; byte-identical output). An env
     # switch, not a flag: the optstring stays reference-identical.
+    # EBWT_COORD (+ EBWT_NPROCS/EBWT_PROCID) additionally joins a
+    # multi-host jax.distributed run; the mesh then spans every process's
+    # devices and only process 0 writes the output file.
     n_mesh = int(os.environ.get("EBWT_MESH", "0") or 0)
 
     try:
+        from .parallel import launch
+
+        if launch.distributed_requested():
+            launch.init_from_env()
+            import jax
+
+            n_mesh = n_mesh or len(jax.devices())
+            cfg = launch.redirect_output(cfg)
         if n_mesh > 1:
             from .parallel import pipeline as ppipe
             from .parallel import shard

@@ -23,8 +23,13 @@ import jax.numpy as jnp
 BLOCK = 128
 WPB = 4
 
-_U1 = jnp.uint32(1)
-_ALL1 = jnp.uint32(0xFFFFFFFF)
+import numpy as _np
+
+# numpy scalars, NOT jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize
+# (must run before any backend touch — parallel/launch.py)
+_U1 = _np.uint32(1)
+_ALL1 = _np.uint32(0xFFFFFFFF)
 
 
 def _prefix_masks(o):

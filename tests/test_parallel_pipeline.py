@@ -102,6 +102,45 @@ def test_sharded_mode3_matches_single_device(tmp_path, rng):
     assert stats["n_clusters"] > 0
 
 
+def test_multihost_two_process_cli(tmp_path, rng):
+    """True multi-process run: 2 jax.distributed processes x 4 virtual CPU
+    devices form one 8-device global mesh over a localhost coordinator
+    (gloo collectives); process 0's .snp must match single-device."""
+    import socket
+
+    path, _ = make_dataset(str(tmp_path), rng, genome_len=3000, coverage=10)
+    one = str(tmp_path / "one.snp")
+    mesh_out = str(tmp_path / "dist.snp")
+    mpipe.run_one_dataset(Config(input1=path, output=one), log=_quiet)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ, JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            EBWT_COORD=f"localhost:{port}", EBWT_NPROCS="2",
+            EBWT_PROCID=str(pid),
+        )
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        procs.append(subprocess.Popen(
+            ["python", "-m", "ebwt2indel_tpu.cli", "-1", path, "-o",
+             mesh_out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        ))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{out}\n{err}"
+    assert "mesh" in outs[0][0]
+    assert open(one, "rb").read() == open(mesh_out, "rb").read()
+    # non-primary wrote its replica to the scratch path, identical content
+    assert open(mesh_out + ".proc1", "rb").read() == open(one, "rb").read()
+
+
 def test_sharded_cli_switch(tmp_path, rng):
     """EBWT_MESH routes the CLI through the sharded pipeline."""
     path, _ = make_dataset(str(tmp_path), rng, genome_len=3000, coverage=10)
