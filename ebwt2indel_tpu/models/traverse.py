@@ -42,8 +42,12 @@ CHUNK = int(_os.environ.get("EBWT_CHUNK", 256 * 1024))
 
 # distinct-coordinate rank budget as a fraction of the dense query count
 # (the reference skips rank at equal node boundaries, dna_bwt.hpp:334-347;
-# ~58% of boundaries are distinct in practice). 0 disables dedup.
-_DEDUP_FRAC = float(_os.environ.get("EBWT_DEDUP_FRAC", "0.625"))
+# ~58% of boundaries are distinct in practice). 0 (the default) disables
+# dedup: measured on TPU v5e, the dedup's gather-back of per-query results
+# costs more than the saved rank gathers — gather cost is per-row, not
+# per-byte (node phase 12.8s dense vs 16-17.6s at frac 0.55-0.7; see
+# docs/PERF.md "coordinate dedup"). The path stays for A/B testing.
+_DEDUP_FRAC = float(_os.environ.get("EBWT_DEDUP_FRAC", "0"))
 
 
 def _dedup_budget(n_queries: int) -> int:
