@@ -147,6 +147,24 @@ def extend_node(fm: FMIndex, nodes):
     return jnp.concatenate([ext, depth4], axis=-1)
 
 
+def extend_node_narrow(fm: FMIndex, nodes, budget: int,
+                       two_decode: bool = True):
+    """extend_node via the 2-anchor sorted rank (rank.parallel_rank_sorted).
+
+    A node's 6 child boundaries are sorted and span exactly the node's
+    interval; node sizes are ~read coverage, so the whole tuple almost
+    always fits in <= 2 of the 128-char rank blocks — 2 row gathers per
+    node instead of 6 (gather cost on TPU is per-row, docs/PERF.md).
+    nodes: int32 (C, 7) -> int32 (C, 4, 7).
+    """
+    C = nodes.shape[0]
+    ranks = rank.parallel_rank_sorted(fm.blocks, nodes[:, :6], budget,
+                                      two_decode=two_decode)
+    ext = fm.F[:, None] + jnp.swapaxes(ranks, -1, -2)  # (C, 4, 6)
+    depth4 = jnp.broadcast_to(nodes[:, None, 6:7] + 1, (C, 4, 1))
+    return jnp.concatenate([ext, depth4], axis=-1)
+
+
 def extend_node_dedup(fm: FMIndex, nodes, budget: int):
     """extend_node with boundary-rank dedup (dna_bwt.hpp:334-347).
 

@@ -49,9 +49,30 @@ CHUNK = int(_os.environ.get("EBWT_CHUNK", 256 * 1024))
 # docs/PERF.md "coordinate dedup"). The path stays for A/B testing.
 _DEDUP_FRAC = float(_os.environ.get("EBWT_DEDUP_FRAC", "0"))
 
+# 2-anchor narrow-node rank for the Weiner extension: gather 2 block rows
+# per node instead of 6 — node sizes are ~read coverage, so the sorted
+# 6-boundary tuple nearly always spans <= 2 of the 128-char blocks; rare
+# wide-node middle coordinates resolve through a compacted dense pass
+# (rank.parallel_rank_sorted). Default OFF: measured slower than the dense
+# gather on TPU v5e in both decode variants (node phase 16.9s two-decode /
+# 20.9s row-select vs 12.8s dense at 116M positions) — the per-element
+# routing (select + middle-coordinate compaction scatter) costs more than
+# the saved gather rows, the same budget-compaction wall the coordinate
+# dedup hit (docs/PERF.md). EBWT_NARROW=1 enables the two-decode variant,
+# EBWT_NARROW=rows the row-select one.
+_NARROW_ENV = _os.environ.get("EBWT_NARROW", "0")
+_NARROW = _NARROW_ENV != "0"
+_NARROW_TWO_DECODE = _NARROW_ENV != "rows"
+
 
 def _dedup_budget(n_queries: int) -> int:
     return max(8, int(n_queries * _DEDUP_FRAC))
+
+
+def _narrow_budget(chunk_rows: int) -> int:
+    # uncovered coords are middle-block boundaries of block-spanning nodes
+    # (<1% of coords in practice); overflow falls back to the dense path
+    return max(1024, chunk_rows // 4)
 
 
 @dataclasses.dataclass
@@ -181,6 +202,9 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
 
     if _DEDUP_FRAC > 0:
         ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
+    elif _NARROW:
+        ext = fm_ops.extend_node_narrow(fm, chunk, budget=_narrow_budget(C),
+                                        two_decode=_NARROW_TWO_DECODE)
     else:
         ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
     nch = fm_ops.node_num_children(ext)
@@ -307,6 +331,14 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
                                         budget=b)
         ext2 = fm_ops.extend_node_dedup(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]],
                                         budget=b)
+    elif _NARROW:
+        b = _narrow_budget(C)
+        ext1 = fm_ops.extend_node_narrow(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]],
+                                         budget=b,
+                                         two_decode=_NARROW_TWO_DECODE)
+        ext2 = fm_ops.extend_node_narrow(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]],
+                                         budget=b,
+                                         two_decode=_NARROW_TWO_DECODE)
     else:
         ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
         ext2 = fm_ops.extend_node(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]])

@@ -58,23 +58,16 @@ def _char_plane_words(row):
     return jnp.stack([a, c, g, t], axis=-2)
 
 
-def parallel_rank(blocks, i):
-    """Counts of (A,C,G,T) in the prefix of length ``i``.
+def _decode_rank_T(rowT, o):
+    """In-block rank decode on pre-gathered rows, transposed layout.
 
-    blocks: uint32 (n_blocks, 16); i: int32 [...]; returns int32 [..., 4].
-    Mirrors dna_string.hpp:140-152.
-
-    The element-wise work runs in a transposed (words, B) layout so the
-    batch occupies the dense minor (lane) dimension — a (B, 16) layout
-    wastes 7/8 of the VPU lanes. Per-word counts use 4 popcounts and the
-    linear combination A = S-x-y+z, C = x-z, G = y-z, T = z where
-    S = #non-TERM, x = #bit0, y = #bit1, z = #(bit0&bit1).
+    rowT: uint32 (16, B) — gathered block rows with the batch in the dense
+    minor (lane) dimension (a (B, 16) layout wastes 7/8 of the VPU lanes);
+    o: int32 (B,) in-block offsets. Returns int32 (B, 4). Per-word counts
+    use 4 popcounts and the linear combination A = S-x-y+z, C = x-z,
+    G = y-z, T = z where S = #non-TERM, x = #bit0, y = #bit1,
+    z = #(bit0&bit1).
     """
-    shape = i.shape
-    i = i.reshape(-1)
-    b = jax.lax.shift_right_logical(i, 7)
-    o = i & jnp.int32(BLOCK - 1)
-    rowT = blocks[b].T  # (16, B)
     p0 = rowT[0:4]
     p1 = rowT[4:8]
     p2 = rowT[8:12]
@@ -94,12 +87,136 @@ def parallel_rank(blocks, i):
     x = pc(t0).sum(axis=0, dtype=jnp.int32)
     y = pc(t1).sum(axis=0, dtype=jnp.int32)
     z = pc(t2).sum(axis=0, dtype=jnp.int32)
-    out = jnp.stack(
+    return jnp.stack(
         [cnt[0] + (S - x - y + z), cnt[1] + (x - z), cnt[2] + (y - z),
          cnt[3] + z],
         axis=-1,
     )
+
+
+def parallel_rank(blocks, i):
+    """Counts of (A,C,G,T) in the prefix of length ``i``.
+
+    blocks: uint32 (n_blocks, 16); i: int32 [...]; returns int32 [..., 4].
+    Mirrors dna_string.hpp:140-152: one row gather + in-block decode.
+    """
+    shape = i.shape
+    i = i.reshape(-1)
+    b = jax.lax.shift_right_logical(i, 7)
+    o = i & jnp.int32(BLOCK - 1)
+    out = _decode_rank_T(blocks[b].T, o)
     return out.reshape(shape + (4,))
+
+
+def _decode_rank_T_multi(rowT, o):
+    """Rank decode of ``k`` offsets per row against one anchor row each.
+
+    rowT: uint32 (16, C) anchor rows (transposed); o: int32 (C, k)
+    in-block offsets, all decoded against that row. Returns int32
+    (C, k, 4). Same popcount formulation as `_decode_rank_T`, with the
+    k offsets broadcast over a middle axis — the anchor planes are read
+    once per row, not once per offset, so nothing of size (C, k, 16) is
+    ever materialized.
+    """
+    k = o.shape[1]
+    p0 = rowT[0:4][:, None, :]  # (4, 1, C)
+    p1 = rowT[4:8][:, None, :]
+    p2 = rowT[8:12][:, None, :]
+    cnt = rowT[12:16].astype(jnp.int32)  # (4, C)
+
+    w = jnp.arange(WPB, dtype=jnp.int32)[:, None, None]  # (4, 1, 1)
+    oT = o.T[None, :, :]  # (1, k, C)
+    take = jnp.clip(oT - w * 32, 0, 32)  # (4, k, C)
+    sh = jnp.minimum(take, 31).astype(jnp.uint32)
+    mask = jnp.where(take == 32, _ALL1, (_U1 << sh) - _U1)
+
+    np2m = ~p2 & mask
+    t0 = p0 & np2m
+    t1 = p1 & np2m
+    t2 = p0 & t1
+    pc = jax.lax.population_count
+    S = pc(np2m).sum(axis=0, dtype=jnp.int32)  # (k, C)
+    x = pc(t0).sum(axis=0, dtype=jnp.int32)
+    y = pc(t1).sum(axis=0, dtype=jnp.int32)
+    z = pc(t2).sum(axis=0, dtype=jnp.int32)
+    out = jnp.stack(
+        [cnt[0] + (S - x - y + z), cnt[1] + (x - z), cnt[2] + (y - z),
+         cnt[3] + z],
+        axis=-1,
+    )  # (k, C, 4)
+    return jnp.swapaxes(out, 0, 1)  # (C, k, 4)
+
+
+def parallel_rank_sorted(blocks, coords, budget: int, two_decode: bool = True):
+    """p_rank at per-row *sorted* coordinate tuples with a 2-anchor gather.
+
+    coords: int32 (C, k), non-decreasing along axis 1 (a suffix-tree node's
+    child boundaries, include.hpp:394-413, or a leaf's [first, second]).
+    Returns int32 (C, k, 4).
+
+    TPU-native narrow-node formulation: gather cost is per-row (~12-21
+    ns/row regardless of row bytes), and nearly all suffix-tree nodes are
+    narrower than one 128-char block (size ≈ read coverage), so the k
+    coordinates of a row almost always fall in at most the two blocks
+    containing coords[:, 0] and coords[:, -1]. Gather those 2 rows per
+    node (2C rows instead of kC), decode every coordinate against the
+    selected anchor row, and resolve the rare middle-block coordinates of
+    wide nodes through a ``budget``-sized compacted dense-rank pass
+    (index scatter + rank + row scatter-back). Falls back to the dense
+    per-coordinate gather when the uncovered count exceeds ``budget``
+    (lax.cond — one branch executes). budget must be static.
+
+    two_decode selects the in-block decode formulation: True decodes all
+    k offsets against both anchor rows and selects the (C, k, 4) results
+    (no (C, k, 16) intermediate); False selects rows first and runs the
+    flat decode (1x popcounts, 3x HBM traffic).
+    """
+    C, k = coords.shape
+    flat = coords.reshape(-1)
+
+    def dense(_):
+        return parallel_rank(blocks, coords)
+
+    def narrow(_):
+        b = jax.lax.shift_right_logical(coords, 7)  # (C, k)
+        o = coords & jnp.int32(BLOCK - 1)
+        b_lo = b[:, 0]
+        b_hi = b[:, k - 1]
+        rows_lo = blocks[b_lo]  # (C, 16)
+        rows_hi = blocks[b_hi]
+        use_hi = b == b_hi[:, None]
+        if two_decode:
+            # decode every offset against BOTH anchors and select the
+            # decoded (C, k, 4) results — ~2x the popcounts (VPU-cheap)
+            # but nothing of size (C, k, 16) is materialized
+            dec_lo = _decode_rank_T_multi(rows_lo.T, o)
+            dec_hi = _decode_rank_T_multi(rows_hi.T, o)
+            dec = jnp.where(use_hi[:, :, None], dec_hi, dec_lo)
+            dec = dec.reshape(C * k, 4)
+        else:
+            rows = jnp.where(
+                use_hi[:, :, None], rows_hi[:, None, :], rows_lo[:, None, :]
+            )  # (C, k, 16)
+            dec = _decode_rank_T(rows.reshape(C * k, 16).T, o.reshape(-1))
+
+        # middle-block coordinates of wide nodes: compact, dense-rank,
+        # scatter the (budget, 4) results back over the anchor decodes
+        m = ~(use_hi | (b == b_lo[:, None]))
+        mf = m.reshape(-1)
+        gov = jnp.cumsum(mf.astype(jnp.int32)) - 1
+        pos = jnp.where(mf, gov, jnp.int32(budget))
+        buf = jnp.zeros(budget, jnp.int32).at[pos].set(flat, mode="drop")
+        rbuf = parallel_rank(blocks, buf)  # (budget, 4)
+        inv = jnp.full(budget, C * k, jnp.int32).at[pos].set(
+            jnp.arange(C * k, dtype=jnp.int32), mode="drop"
+        )
+        dec = dec.at[inv].set(rbuf, mode="drop")
+        return dec.reshape(C, k, 4)
+
+    b_all = jax.lax.shift_right_logical(coords, 7)
+    uncovered = ~((b_all == b_all[:, :1]) | (b_all == b_all[:, k - 1:]))
+    n_unc = jnp.sum(uncovered.astype(jnp.int32))
+    return jax.lax.cond(n_unc <= budget, narrow, dense, None)
 
 
 def parallel_rank_dedup(blocks, i, budget: int):

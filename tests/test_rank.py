@@ -139,6 +139,30 @@ def test_bv_build_device_matches_host(rng):
     np.testing.assert_array_equal(np.asarray(counts_d)[:nb], counts_h[:nb])
 
 
+@pytest.mark.parametrize("two_decode", [True, False])
+@pytest.mark.parametrize("wide_frac,budget", [(0.02, 256), (0.5, 4096), (0.5, 4)])
+def test_parallel_rank_sorted_matches_dense(rng, wide_frac, budget, two_decode):
+    """2-anchor sorted rank equals dense rank: mostly-narrow rows (the
+    production regime), many wide rows within budget (exercises the
+    middle-coordinate compaction), and wide rows over budget (forces the
+    dense fallback branch of the cond)."""
+    n = 64 * 128
+    codes = random_codes(rng, n)
+    pb = packing.pack_codes(codes)
+    blocks = jnp.asarray(pb.blocks)
+    C, k = 500, 6
+    start = rng.integers(0, n - 1200, size=C)
+    width = np.where(rng.random(C) < wide_frac,
+                     rng.integers(300, 1200, size=C),
+                     rng.integers(0, 40, size=C))
+    offs = np.sort(rng.integers(0, width[:, None] + 1, size=(C, k)), axis=1)
+    coords = (start[:, None] + offs).astype(np.int32)
+    got = np.asarray(rank.parallel_rank_sorted(blocks, jnp.asarray(coords),
+                                               budget, two_decode=two_decode))
+    want = np.asarray(rank.parallel_rank(blocks, jnp.asarray(coords)))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("budget_frac", [0.6, 1.2, 0.05])
 def test_parallel_rank_dedup_matches_dense(rng, budget_frac):
     """Dedup rank equals dense rank on a run-heavy query vector, for a
