@@ -131,16 +131,20 @@ def runs_to_clusters(starts, ends, n_ends, *, cap, mcov_out):
 
 @partial(jax.jit, static_argnames=("cap", "mcov_out"))
 def _extract_runs(is_start, end_at, n_ends, *, cap, mcov_out):
-    n = is_start.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
+    """Positions of the run-start/run-end marks, extracted by SELECT over
+    packed bitvectors instead of cumsum+scatter compaction: the scatter
+    pays ~7.8 ns per input element on TPU (0.9 s per pass at 116M
+    positions), while select costs ~log2(n_blocks) int32 gathers per
+    OUTPUT (cap << n). Entries beyond the mark counts are garbage and are
+    masked by runs_to_clusters (closed = k < n_ends)."""
+    from ..ops import bits as bits_ops
+    from ..ops import rank as rank_ops
 
-    def compact(m):
-        idx = jnp.cumsum(m.astype(jnp.int32)) - 1
-        safe = jnp.where(m, idx, cap)
-        return jnp.zeros(cap, jnp.int32).at[safe].set(pos, mode="drop")
-
-    starts = compact(is_start)
-    ends = compact(end_at) + 1
+    sw, sc = bits_ops.bv_build(is_start.astype(jnp.uint8))
+    ew, ec = bits_ops.bv_build(end_at.astype(jnp.uint8))
+    k = jnp.arange(cap, dtype=jnp.int32)
+    starts = rank_ops.bv_select(sw, sc, k)
+    ends = rank_ops.bv_select(ew, ec, k) + 1
     return runs_to_clusters(starts, ends, n_ends, cap=cap, mcov_out=mcov_out)
 
 

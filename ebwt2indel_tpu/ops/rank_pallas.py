@@ -15,9 +15,19 @@ Lanes within each 16-word group: words 0-3 = bitplane 0, 4-7 = plane 1,
 Status: compiles and is bit-exact on TPU v5e, but measured *slower* than the
 dense-lane jnp formulation in ops/rank.py (37 vs 50 Mq/s at B=786k on a 116M
 index) — the per-lane offset expansion it requires costs more HBM traffic
-than the layout copies it saves. The jnp path therefore remains the default;
-this kernel is kept as the maintained Pallas entry point for future fusion
-work (e.g. folding the child-filter reduction into the decode).
+than the layout copies it saves. The jnp path is the production default.
+
+Fusion question resolved (round 2): folding the downstream child-filter /
+node-extension into this decode cannot recover the gap — the decode INPUT
+(6 gathered 64-B rows = 384 B/node) dominates node-phase traffic, while the
+(C,4,7)-int32 extension intermediate a fused kernel would eliminate is only
+28 B/node (<10%), and XLA already fuses the extension arithmetic into the
+decode. Measured confirmations that the gather, not the decode, is the
+wall: per-row DMA from Pallas is ~10x slower than XLA's hardware gather,
+and both 2-anchor narrow-rank variants (which cut gather rows 3x but add
+per-element routing) lose to the dense gather (docs/PERF.md). The kernel
+is retained as the regression-tested record of that measurement, not as
+pending future work.
 """
 
 from __future__ import annotations

@@ -99,6 +99,35 @@ def test_bitvector_rank(rng):
     np.testing.assert_array_equal(gotbits, bits)
 
 
+def test_bv_select_matches_oracle(rng):
+    from ebwt2indel_tpu.ops import bits as bits_ops
+
+    n = 40000
+    bits = (rng.random(n) < 0.07).astype(np.uint8)
+    words, counts = bits_ops.bv_build(jnp.asarray(bits))
+    positions = np.flatnonzero(bits)
+    r = jnp.arange(len(positions), dtype=jnp.int32)
+    got = np.asarray(rank.bv_select(words, counts, r))
+    np.testing.assert_array_equal(got, positions)
+
+
+def test_device_clusters_match_host(rng):
+    from ebwt2indel_tpu.models import cluster
+
+    n = 30000
+    thr = (rng.random(n) < 0.5).astype(np.uint8)
+    mini = (rng.random(n) < 0.05).astype(np.uint8)
+    host = cluster.find_clusters(thr, mini, mcov_out=3)
+    dev = cluster.find_clusters_device(jnp.asarray(thr), jnp.asarray(mini),
+                                       mcov_out=3)
+    np.testing.assert_array_equal(np.asarray(dev.begins), host.begins)
+    np.testing.assert_array_equal(np.asarray(dev.ends), host.ends)
+    assert dev.n_clusters == host.n_clusters
+    assert dev.n_closed == host.n_closed
+    assert dev.clust_size_sum == host.clust_size_sum
+    np.testing.assert_array_equal(dev.hist, host.hist)
+
+
 def test_save_load_packed(tmp_path, rng):
     codes = random_codes(rng, 5000)
     pb = packing.pack_codes(codes)
