@@ -147,19 +147,21 @@ def extend_node(fm: FMIndex, nodes):
     return jnp.concatenate([ext, depth4], axis=-1)
 
 
-def extend_node_narrow(fm: FMIndex, nodes, budget: int,
-                       two_decode: bool = True):
+def extend_node_narrow(fm: FMIndex, nodes, budget: int, valid=None):
     """extend_node via the 2-anchor sorted rank (rank.parallel_rank_sorted).
 
     A node's 6 child boundaries are sorted and span exactly the node's
     interval; node sizes are ~read coverage, so the whole tuple almost
     always fits in <= 2 of the 128-char rank blocks — 2 row gathers per
     node instead of 6 (gather cost on TPU is per-row, docs/PERF.md).
+    Block-straddling nodes are answered exactly by the budget-sliced
+    dense side loop inside parallel_rank_sorted. valid: (C,) bool mask of
+    real rows (pad rows skip the side loop and may extend to garbage).
     nodes: int32 (C, 7) -> int32 (C, 4, 7).
     """
     C = nodes.shape[0]
     ranks = rank.parallel_rank_sorted(fm.blocks, nodes[:, :6], budget,
-                                      two_decode=two_decode)
+                                      valid=valid)
     ext = fm.F[:, None] + jnp.swapaxes(ranks, -1, -2)  # (C, 4, 6)
     depth4 = jnp.broadcast_to(nodes[:, None, 6:7] + 1, (C, 4, 1))
     return jnp.concatenate([ext, depth4], axis=-1)

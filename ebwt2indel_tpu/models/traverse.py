@@ -49,20 +49,16 @@ CHUNK = int(_os.environ.get("EBWT_CHUNK", 256 * 1024))
 # docs/PERF.md "coordinate dedup"). The path stays for A/B testing.
 _DEDUP_FRAC = float(_os.environ.get("EBWT_DEDUP_FRAC", "0"))
 
-# 2-anchor narrow-node rank for the Weiner extension: gather 2 block rows
-# per node instead of 6 — node sizes are ~read coverage, so the sorted
-# 6-boundary tuple nearly always spans <= 2 of the 128-char blocks; rare
-# wide-node middle coordinates resolve through a compacted dense pass
-# (rank.parallel_rank_sorted). Default OFF: measured slower than the dense
-# gather on TPU v5e in both decode variants (node phase 16.9s two-decode /
-# 20.9s row-select vs 12.8s dense at 116M positions) — the per-element
-# routing (select + middle-coordinate compaction scatter) costs more than
-# the saved gather rows, the same budget-compaction wall the coordinate
-# dedup hit (docs/PERF.md). EBWT_NARROW=1 enables the two-decode variant,
-# EBWT_NARROW=rows the row-select one.
-_NARROW_ENV = _os.environ.get("EBWT_NARROW", "0")
-_NARROW = _NARROW_ENV != "0"
-_NARROW_TWO_DECODE = _NARROW_ENV != "rows"
+# 2-anchor narrow-node rank for the Weiner extension (the production
+# default): gather 2 block rows per node instead of 6 — node sizes are
+# ~read coverage, so the sorted 6-boundary tuple nearly always spans <= 2
+# of the 128-char blocks. Block-straddling nodes (the first ~log4 n
+# traversal levels) are answered exactly by a budget-sliced bv_select side
+# loop inside rank.parallel_rank_sorted — gather-only compaction, no
+# lax.cond dense fallback (cond flattens inside the phase while_loop so
+# both branches pay: 16.9 s vs 12.8 s dense, docs/PERF.md). EBWT_NARROW=0
+# restores the dense 6-row gather for A/B runs.
+_NARROW = _os.environ.get("EBWT_NARROW", "1") != "0"
 
 
 def _dedup_budget(n_queries: int) -> int:
@@ -70,9 +66,10 @@ def _dedup_budget(n_queries: int) -> int:
 
 
 def _narrow_budget(chunk_rows: int) -> int:
-    # uncovered coords are middle-block boundaries of block-spanning nodes
-    # (<1% of coords in practice); overflow falls back to the dense path
-    return max(1024, chunk_rows // 4)
+    # wide rows per side-loop slice: large enough that the first (all-wide)
+    # traversal levels take few slices, small enough that the per-slice
+    # select+rank is cheap next to the 2-anchor main pass
+    return max(512, chunk_rows // 64)
 
 
 @dataclasses.dataclass
@@ -204,7 +201,7 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
         ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
     elif _NARROW:
         ext = fm_ops.extend_node_narrow(fm, chunk, budget=_narrow_budget(C),
-                                        two_decode=_NARROW_TWO_DECODE)
+                                        valid=valid)
     else:
         ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
     nch = fm_ops.node_num_children(ext)
@@ -334,11 +331,9 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     elif _NARROW:
         b = _narrow_budget(C)
         ext1 = fm_ops.extend_node_narrow(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]],
-                                         budget=b,
-                                         two_decode=_NARROW_TWO_DECODE)
+                                         budget=b, valid=valid)
         ext2 = fm_ops.extend_node_narrow(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]],
-                                         budget=b,
-                                         two_decode=_NARROW_TWO_DECODE)
+                                         budget=b, valid=valid)
     else:
         ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
         ext2 = fm_ops.extend_node(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]])

@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import bits
+
 BLOCK = 128
 WPB = 4
 
@@ -147,76 +149,69 @@ def _decode_rank_T_multi(rowT, o):
     return jnp.swapaxes(out, 0, 1)  # (C, k, 4)
 
 
-def parallel_rank_sorted(blocks, coords, budget: int, two_decode: bool = True):
+def parallel_rank_sorted(blocks, coords, budget: int, valid=None):
     """p_rank at per-row *sorted* coordinate tuples with a 2-anchor gather.
 
     coords: int32 (C, k), non-decreasing along axis 1 (a suffix-tree node's
-    child boundaries, include.hpp:394-413, or a leaf's [first, second]).
-    Returns int32 (C, k, 4).
+    child boundaries, include.hpp:394-413). Returns int32 (C, k, 4).
 
-    TPU-native narrow-node formulation: gather cost is per-row (~12-21
+    TPU-native narrow-node formulation: gather cost is per-row (~4-21
     ns/row regardless of row bytes), and nearly all suffix-tree nodes are
     narrower than one 128-char block (size ≈ read coverage), so the k
     coordinates of a row almost always fall in at most the two blocks
     containing coords[:, 0] and coords[:, -1]. Gather those 2 rows per
-    node (2C rows instead of kC), decode every coordinate against the
-    selected anchor row, and resolve the rare middle-block coordinates of
-    wide nodes through a ``budget``-sized compacted dense-rank pass
-    (index scatter + rank + row scatter-back). Falls back to the dense
-    per-coordinate gather when the uncovered count exceeds ``budget``
-    (lax.cond — one branch executes). budget must be static.
+    node (2C rows instead of kC) and decode every coordinate against both
+    anchors, selecting the (C, k, 4) results (the 2x popcounts are
+    VPU-cheap; nothing of size (C, k, 16) materializes — measured 349
+    vs 46 Mq/s dense at 1.57M coords, docs/PERF.md).
 
-    two_decode selects the in-block decode formulation: True decodes all
-    k offsets against both anchor rows and selects the (C, k, 4) results
-    (no (C, k, 16) intermediate); False selects rows first and runs the
-    flat decode (1x popcounts, 3x HBM traffic).
+    Rows that straddle >= 3 blocks are resolved *exactly* by a
+    budget-sliced side loop: bv_select extracts up to ``budget`` wide-row
+    indices per slice (gather-only, O(budget * log C) — not the O(C*k)
+    cumsum+scatter compaction that sank the earlier variants), a dense
+    per-coordinate rank answers those rows, and a row scatter overwrites
+    their anchor decodes. The loop runs ceil(n_wide/budget) data-dependent
+    iterations — zero for all-narrow chunks, and wide-heavy chunks (the
+    first ~log4 n traversal levels) just iterate more. No lax.cond dense
+    fallback: cond flattens inside the caller's traversal while_loop, so
+    both branches paid (node phase 16.9 s vs 12.8 s dense; docs/PERF.md).
+
+    valid: optional (C,) bool — rows to answer. Invalid rows are excluded
+    from the wide side pass and may decode to garbage (callers mask).
+    budget must be static.
     """
     C, k = coords.shape
-    flat = coords.reshape(-1)
+    b = jax.lax.shift_right_logical(coords, 7)  # (C, k)
+    o = coords & jnp.int32(BLOCK - 1)
+    rows_lo = blocks[b[:, 0]]  # (C, 16)
+    rows_hi = blocks[b[:, k - 1]]
+    use_hi = b == b[:, k - 1][:, None]
+    dec_lo = _decode_rank_T_multi(rows_lo.T, o)
+    dec_hi = _decode_rank_T_multi(rows_hi.T, o)
+    dec = jnp.where(use_hi[:, :, None], dec_hi, dec_lo)  # (C, k, 4)
 
-    def dense(_):
-        return parallel_rank(blocks, coords)
+    wide = ~jnp.all(use_hi | (b == b[:, :1]), axis=1)
+    if valid is not None:
+        wide = wide & valid
+    n_wide = jnp.sum(wide.astype(jnp.int32))
+    words, counts = bits.bv_build(wide.astype(jnp.uint8))
+    ar = jnp.arange(budget, dtype=jnp.int32)
 
-    def narrow(_):
-        b = jax.lax.shift_right_logical(coords, 7)  # (C, k)
-        o = coords & jnp.int32(BLOCK - 1)
-        b_lo = b[:, 0]
-        b_hi = b[:, k - 1]
-        rows_lo = blocks[b_lo]  # (C, 16)
-        rows_hi = blocks[b_hi]
-        use_hi = b == b_hi[:, None]
-        if two_decode:
-            # decode every offset against BOTH anchors and select the
-            # decoded (C, k, 4) results — ~2x the popcounts (VPU-cheap)
-            # but nothing of size (C, k, 16) is materialized
-            dec_lo = _decode_rank_T_multi(rows_lo.T, o)
-            dec_hi = _decode_rank_T_multi(rows_hi.T, o)
-            dec = jnp.where(use_hi[:, :, None], dec_hi, dec_lo)
-            dec = dec.reshape(C * k, 4)
-        else:
-            rows = jnp.where(
-                use_hi[:, :, None], rows_hi[:, None, :], rows_lo[:, None, :]
-            )  # (C, k, 16)
-            dec = _decode_rank_T(rows.reshape(C * k, 16).T, o.reshape(-1))
+    def wcond(state):
+        return state[0] * budget < n_wide
 
-        # middle-block coordinates of wide nodes: compact, dense-rank,
-        # scatter the (budget, 4) results back over the anchor decodes
-        m = ~(use_hi | (b == b_lo[:, None]))
-        mf = m.reshape(-1)
-        gov = jnp.cumsum(mf.astype(jnp.int32)) - 1
-        pos = jnp.where(mf, gov, jnp.int32(budget))
-        buf = jnp.zeros(budget, jnp.int32).at[pos].set(flat, mode="drop")
-        rbuf = parallel_rank(blocks, buf)  # (budget, 4)
-        inv = jnp.full(budget, C * k, jnp.int32).at[pos].set(
-            jnp.arange(C * k, dtype=jnp.int32), mode="drop"
-        )
-        dec = dec.at[inv].set(rbuf, mode="drop")
-        return dec.reshape(C, k, 4)
+    def wstep(state):
+        it, dec = state
+        r = it * budget + ar
+        ok = r < n_wide
+        sel = bv_select(words, counts, jnp.where(ok, r, 0))
+        sel = jnp.clip(sel, 0, C - 1)
+        wdec = parallel_rank(blocks, coords[sel])  # (budget, k, 4)
+        dec = dec.at[jnp.where(ok, sel, C)].set(wdec, mode="drop")
+        return it + 1, dec
 
-    b_all = jax.lax.shift_right_logical(coords, 7)
-    uncovered = ~((b_all == b_all[:, :1]) | (b_all == b_all[:, k - 1:]))
-    n_unc = jnp.sum(uncovered.astype(jnp.int32))
-    return jax.lax.cond(n_unc <= budget, narrow, dense, None)
+    _, dec = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), dec))
+    return dec
 
 
 def parallel_rank_dedup(blocks, i, budget: int):

@@ -168,13 +168,13 @@ def test_bv_build_device_matches_host(rng):
     np.testing.assert_array_equal(np.asarray(counts_d)[:nb], counts_h[:nb])
 
 
-@pytest.mark.parametrize("two_decode", [True, False])
+@pytest.mark.parametrize("use_valid", [False, True])
 @pytest.mark.parametrize("wide_frac,budget", [(0.02, 256), (0.5, 4096), (0.5, 4)])
-def test_parallel_rank_sorted_matches_dense(rng, wide_frac, budget, two_decode):
+def test_parallel_rank_sorted_matches_dense(rng, wide_frac, budget, use_valid):
     """2-anchor sorted rank equals dense rank: mostly-narrow rows (the
-    production regime), many wide rows within budget (exercises the
-    middle-coordinate compaction), and wide rows over budget (forces the
-    dense fallback branch of the cond)."""
+    production regime), many wide rows in one side-loop slice, and many
+    wide rows with a tiny budget (forces multiple side-loop iterations).
+    With use_valid, masked rows must not disturb valid answers."""
     n = 64 * 128
     codes = random_codes(rng, n)
     pb = packing.pack_codes(codes)
@@ -186,10 +186,15 @@ def test_parallel_rank_sorted_matches_dense(rng, wide_frac, budget, two_decode):
                      rng.integers(0, 40, size=C))
     offs = np.sort(rng.integers(0, width[:, None] + 1, size=(C, k)), axis=1)
     coords = (start[:, None] + offs).astype(np.int32)
+    valid = None
+    check = np.ones(C, bool)
+    if use_valid:
+        check = rng.random(C) < 0.7
+        valid = jnp.asarray(check)
     got = np.asarray(rank.parallel_rank_sorted(blocks, jnp.asarray(coords),
-                                               budget, two_decode=two_decode))
+                                               budget, valid=valid))
     want = np.asarray(rank.parallel_rank(blocks, jnp.asarray(coords)))
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got[check], want[check])
 
 
 @pytest.mark.parametrize("budget_frac", [0.6, 1.2, 0.05])
