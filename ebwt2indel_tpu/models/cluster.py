@@ -131,11 +131,31 @@ def runs_to_clusters(starts, ends, n_ends, *, cap, mcov_out):
 
 @partial(jax.jit, static_argnames=("cap", "mcov_out"))
 def _extract_runs(is_start, end_at, n_ends, *, cap, mcov_out):
-    """Positions of the run-start/run-end marks, extracted by SELECT over
-    packed bitvectors instead of cumsum+scatter compaction: the scatter
-    pays ~7.8 ns per input element on TPU (0.9 s per pass at 116M
-    positions), while select costs ~log2(n_blocks) int32 gathers per
-    OUTPUT (cap << n). Entries beyond the mark counts are garbage and are
+    """Positions of the run-start/run-end marks via cumsum+scatter
+    compaction. Run counts at genome scale are a large fraction of n
+    (cap ~ n_starts rounded up to a power of 2), so the O(n) scatter wins
+    over bv_select's O(cap * log2(n/128)) gather chain here — measured
+    ~1 s vs 3.9 s at 116M positions (the opposite trade from the rank
+    wide-row side pass, where outputs are truly sparse).
+    EBWT_CLUSTER_EXTRACT=select keeps the select formulation for A/B."""
+    n = is_start.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def compact(m):
+        idx = jnp.cumsum(m.astype(jnp.int32)) - 1
+        safe = jnp.where(m, idx, cap)
+        return jnp.zeros(cap, jnp.int32).at[safe].set(pos, mode="drop")
+
+    starts = compact(is_start)
+    ends = compact(end_at) + 1
+    return runs_to_clusters(starts, ends, n_ends, cap=cap, mcov_out=mcov_out)
+
+
+@partial(jax.jit, static_argnames=("cap", "mcov_out"))
+def _extract_runs_select(is_start, end_at, n_ends, *, cap, mcov_out):
+    """bv_select formulation of _extract_runs (A/B knob): gather-only,
+    O(cap * log2(n_blocks)); loses at genome scale because cap is a large
+    fraction of n. Entries beyond the mark counts are garbage and are
     masked by runs_to_clusters (closed = k < n_ends)."""
     from ..ops import bits as bits_ops
     from ..ops import rank as rank_ops
@@ -152,10 +172,15 @@ def find_clusters_device(thr_K_dev, minima_dev, mcov_out: int) -> Clusters:
     """Device-side equivalent of find_clusters: begins/ends stay on device
     (trimmed to the analyzed count); only scalar stats and the histogram are
     downloaded."""
+    import os
+
     is_start, end_at, n_starts, n_ends = _run_marks(thr_K_dev, minima_dev)
     n_ends_i = int(n_ends)
     cap = _cap(max(int(n_starts), 1))
-    a_begins, a_ends, n_analyzed, hist, size_sum = _extract_runs(
+    extract = (_extract_runs_select
+               if os.environ.get("EBWT_CLUSTER_EXTRACT") == "select"
+               else _extract_runs)
+    a_begins, a_ends, n_analyzed, hist, size_sum = extract(
         is_start, end_at, n_ends, cap=cap, mcov_out=mcov_out
     )
     n_analyzed_i = int(n_analyzed)

@@ -45,6 +45,22 @@ class FMIndex:
 
     @staticmethod
     def from_packed(pb: packing.PackedBwt) -> "FMIndex":
+        import os
+
+        if os.environ.get("EBWT_LEAN_UPLOAD", "1") != "0":
+            # upload only the 3 bitplanes (48 B / 128 chars) and rebuild
+            # the cumulative-count words + select table on device — 40%
+            # less host->device traffic (the pipeline's largest transfer;
+            # host links are the one bandwidth XLA can't hide)
+            planes = jnp.asarray(np.ascontiguousarray(pb.blocks[:, :12]))
+            blocks, cum = _build_blocks_from_planes(planes, n=pb.n)
+            return FMIndex(
+                blocks=blocks,
+                block_counts=cum,
+                F=jnp.asarray(pb.F.astype(np.int32)),
+                n=pb.n,
+                term=pb.term,
+            )
         return FMIndex(
             blocks=jnp.asarray(pb.blocks),
             block_counts=jnp.asarray(pb.block_counts),
@@ -75,6 +91,30 @@ class FMIndex:
         (dna_bwt.hpp:313-317)."""
         F = np.asarray(self.F)
         return np.array([0, F[0], 0], dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _build_blocks_from_planes(planes, *, n: int):
+    """Rebuild the (nb, 16) rank blocks + (nb, 4) cumulative counts from the
+    3 uploaded bitplanes (ops/packing.py layout: words 0-3 plane 0, 4-7
+    plane 1, 8-11 plane 2/TERM; codes A=000, C=001, G=010, T=011, TERM=100).
+    Equivalent to the host packer's count words (packing.pack_codes:77-90),
+    computed with VPU popcounts + one cumsum instead of being shipped."""
+    nb = planes.shape[0]
+    p0 = planes[:, 0:4]
+    p1 = planes[:, 4:8]
+    p2 = planes[:, 8:12]
+    pc = jax.lax.population_count
+    cT = pc(p0 & p1).sum(-1, dtype=jnp.int32)
+    cC = pc(p0 & ~p1).sum(-1, dtype=jnp.int32)
+    cG = pc(p1 & ~p0).sum(-1, dtype=jnp.int32)
+    cA = pc(~p0 & ~p1 & ~p2).sum(-1, dtype=jnp.int32)
+    per = jnp.stack([cA, cC, cG, cT], axis=-1)  # (nb, 4)
+    # packer pads the final block with code 0 ('A') up to nb*128
+    per = per.at[nb - 1, 0].add(jnp.int32(n - nb * packing.BLOCK))
+    cum = jnp.cumsum(per, axis=0) - per  # exclusive: counts BEFORE block
+    blocks = jnp.concatenate([planes, cum.astype(jnp.uint32)], axis=1)
+    return blocks, cum
 
 
 # ---------------------------------------------------------------------------

@@ -111,9 +111,12 @@ def test_bv_select_matches_oracle(rng):
     np.testing.assert_array_equal(got, positions)
 
 
-def test_device_clusters_match_host(rng):
+@pytest.mark.parametrize("extract", ["scatter", "select"])
+def test_device_clusters_match_host(rng, extract, monkeypatch):
     from ebwt2indel_tpu.models import cluster
 
+    if extract == "select":
+        monkeypatch.setenv("EBWT_CLUSTER_EXTRACT", "select")
     n = 30000
     thr = (rng.random(n) < 0.5).astype(np.uint8)
     mini = (rng.random(n) < 0.05).astype(np.uint8)
@@ -126,6 +129,19 @@ def test_device_clusters_match_host(rng):
     assert dev.n_closed == host.n_closed
     assert dev.clust_size_sum == host.clust_size_sum
     np.testing.assert_array_equal(dev.hist, host.hist)
+
+
+@pytest.mark.parametrize("n", [127, 128, 129, 50000])
+def test_lean_upload_blocks_match_host(rng, n):
+    """Device-rebuilt count words (lean upload) equal the host packer's."""
+    from ebwt2indel_tpu.models import fm_index
+
+    codes = random_codes(rng, n)
+    pb = packing.pack_codes(codes)
+    planes = jnp.asarray(np.ascontiguousarray(pb.blocks[:, :12]))
+    blocks, cum = fm_index._build_blocks_from_planes(planes, n=pb.n)
+    np.testing.assert_array_equal(np.asarray(blocks), pb.blocks)
+    np.testing.assert_array_equal(np.asarray(cum), pb.block_counts)
 
 
 def test_save_load_packed(tmp_path, rng):
