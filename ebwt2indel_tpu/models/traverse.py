@@ -87,20 +87,47 @@ class TraversalResult:
 def _compact(flat, keep):
     """Dense-prefix compaction of kept rows; returns (buffer, count).
 
-    Implemented as a 1-D index scatter followed by a row gather — a direct
-    row scatter runs at well under 1 GB/s on TPU, while scattering 4-byte
-    indices and gathering rows is several times faster. Rows at positions
-    >= count are garbage (copies of row 0), which is safe for the queue:
+    The permutation comes from ONE s32 sort of keep-tagged iotas (kept
+    rows keep their index, dropped rows sort after them at m+i), followed
+    by a row gather. XLA's TPU sort runs a 1M-element s32 sort in ~0.8 ms
+    while the previous cumsum + index-scatter formulation paid ~4.9 ms
+    per 1M entries (scatter processes every entry at ~5-10 ns; a direct
+    row scatter is worse still at <1 GB/s). Rows at positions >= count
+    are garbage (copies of the last row), which is safe for the queue:
     appended pad rows are overwritten by later appends before `head` can
     reach them, and callers slice by the returned count.
     """
     m = flat.shape[0]
-    idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    safe = jnp.where(keep, idx, m)
-    perm = jnp.zeros(m, jnp.int32).at[safe].set(
-        jnp.arange(m, dtype=jnp.int32), mode="drop"
-    )
-    return flat[perm], keep.sum(dtype=jnp.int32)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    perm = jax.lax.sort(jnp.where(keep, iota, m + iota))
+    return flat[jnp.minimum(perm, m - 1)], keep.sum(dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# packed traversal flags: 8 positions per int32 word, 4 bits each
+# (1=thr_K, 2=thr_R, 4=minima, 8=DA). Bit-disjoint adds never carry — each
+# position's nibble is written by exactly one (node, border) across the
+# whole traversal — and the scatter target shrinks 8x (58 MB instead of
+# 464 MB at n=116M), which is what the per-entry random-update cost tracks.
+# ---------------------------------------------------------------------------
+
+
+def _flag_words(n: int) -> int:
+    return (n + 7) // 8
+
+
+def _flag_scatter(nf, borders, vals):
+    """Scatter-add 4-bit flag values at position indices into the packed
+    word array. Dummy entries use border >= 8*nf.size (dropped)."""
+    w = jax.lax.shift_right_logical(borders, 3)
+    sh = (borders & 7) * 4
+    return nf.at[w].add(vals << sh, mode="drop")
+
+
+def _unpack_flags(nf, n: int):
+    """(nw,) packed flag words -> (n,) int32 per-position 4-bit flags."""
+    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
+    return (jax.lax.shift_right_logical(nf[:, None], sh) & 15).reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -165,18 +192,18 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     update_lcp_minima ebwt2InDel.cpp:357-391; next_nodes dna_bwt.hpp:381-404).
     chunk: (C,7).
     """
-    (nf,) = flags  # (n,) int32 bit flags: 1=thr_K, 2=thr_R, 4=minima
-    # (int32, not uint8: sub-word scatters lower to a full-array rewrite on
-    # TPU — word-sized scatter updates take the fast per-entry path)
+    (nf,) = flags  # packed flag words (see _flag_scatter)
+    # (int32 words, not uint8 flags: sub-word scatters lower to a
+    # full-array rewrite on TPU — word-sized updates take the fast path)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     depth = chunk[:, 6]
     last = chunk[:, 5]
-    dummy = jnp.int32(nf.shape[0])
+    dummy = jnp.int32(nf.shape[0] * 8)
     lcp_values = jnp.int32(0)
     n_min = jnp.int32(0)
 
-    # one bit-packed add-scatter for all border writes: every flagged
+    # one nibble-packed add-scatter for all border writes: every flagged
     # position is written by exactly one (node, border) across the whole
     # traversal (the border's LCP value is that unique node's depth), so
     # add never collides on a bit
@@ -195,7 +222,7 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
         vals.append(v)
-    nf = nf.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals), mode="drop")
+    nf = _flag_scatter(nf, jnp.concatenate(idxs), jnp.concatenate(vals))
 
     if _DEDUP_FRAC > 0:
         ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
@@ -277,7 +304,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     (ebwt2InDel.cpp:792-802), pairwise Weiner extension keeping pairs with
     >= 2 union children (ebwt2InDel.cpp:529-553). chunk: (C,13).
     """
-    (nf,) = flags  # (n,) int32 bits: 1=thr_K, 2=thr_R, 4=minima, 8=DA one
+    (nf,) = flags  # packed flag words (see _flag_scatter)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     c1 = chunk[:, 0:6]
@@ -285,7 +312,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     depth = chunk[:, 12]
     merged = c1 + c2
     last = merged[:, 5]
-    dummy = jnp.int32(nf.shape[0])
+    dummy = jnp.int32(nf.shape[0] * 8)
 
     idxs = []
     vals = []
@@ -318,7 +345,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
         vals.append(v)
-    nf = nf.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals), mode="drop")
+    nf = _flag_scatter(nf, jnp.concatenate(idxs), jnp.concatenate(vals))
 
     if _DEDUP_FRAC > 0:
         # pair chunks are especially run-heavy: a string present in only
@@ -359,9 +386,10 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
 
 @partial(jax.jit, static_argnames=("K", "k_right"), donate_argnums=(3,))
 def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
-    """One internal-node chunk step over a bit-flag array (1=thr_K, 2=thr_R,
-    4=minima). The exposed single-dispatch 'forward step' of the flagship
-    compute path (used by __graft_entry__)."""
+    """One internal-node chunk step over the packed flag words (8 positions
+    x 4 bits per int32; 1=thr_K, 2=thr_R, 4=minima). The exposed
+    single-dispatch 'forward step' of the flagship compute path (used by
+    __graft_entry__)."""
     out, n_out, (nf,), st = _node_body(
         fm, nodes, count, (node_flags,),
         (jnp.int32(0),) * 4, K=K, k_right=k_right
@@ -461,7 +489,7 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
     compiled device program."""
     n = fm.n
     dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
-    nf = jnp.zeros(n, dtype=jnp.int32)
+    nf = jnp.zeros(_flag_words(n), dtype=jnp.int32)
 
     import os
     import time as _time
@@ -490,11 +518,12 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
         "n_min": int(st_n[2]),
         "max_pending": max(maxp_l, maxp_n),
     }
+    pf = _unpack_flags(nf, n)
     fill_K = jnp.cumsum(dif[: n]) > 0
     fill_R = jnp.cumsum(dif[n + 1 : 2 * n + 1]) > 0
-    thr_K = ((nf & 1) != 0) | fill_K
-    thr_R = ((nf & 2) != 0) | fill_R
-    minima = ((nf & 4) != 0).astype(jnp.uint8)
+    thr_K = ((pf & 1) != 0) | fill_K
+    thr_R = ((pf & 2) != 0) | fill_R
+    minima = ((pf & 4) != 0).astype(jnp.uint8)
     return TraversalResult(thr_K=thr_K.astype(jnp.uint8),
                            thr_R=thr_R.astype(jnp.uint8), minima=minima,
                            da=None, stats=stats)
@@ -506,7 +535,7 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
     collection (reference: navigate_two_bwts, ebwt2InDel.cpp:679-831)."""
     n = fm1.n + fm2.n
     dif = jnp.zeros(3 * (n + 1), dtype=jnp.int32)
-    nf = jnp.zeros(n, dtype=jnp.int32)
+    nf = jnp.zeros(_flag_words(n), dtype=jnp.int32)
 
     l1 = fm1.first_leaf()
     l2 = fm2.first_leaf()
@@ -530,10 +559,11 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
         "max_pending": max(maxp_l, maxp_n),
     }
     s0 = n + 1
-    thr_K = ((nf & 1) != 0) | (jnp.cumsum(dif[:n]) > 0)
-    thr_R = ((nf & 2) != 0) | (jnp.cumsum(dif[s0 : s0 + n]) > 0)
-    minima = ((nf & 4) != 0).astype(jnp.uint8)
-    da = ((nf & 8) != 0) | (jnp.cumsum(dif[2 * s0 : 2 * s0 + n]) > 0)
+    pf = _unpack_flags(nf, n)
+    thr_K = ((pf & 1) != 0) | (jnp.cumsum(dif[:n]) > 0)
+    thr_R = ((pf & 2) != 0) | (jnp.cumsum(dif[s0 : s0 + n]) > 0)
+    minima = ((pf & 4) != 0).astype(jnp.uint8)
+    da = ((pf & 8) != 0) | (jnp.cumsum(dif[2 * s0 : 2 * s0 + n]) > 0)
     return TraversalResult(thr_K=thr_K.astype(jnp.uint8),
                            thr_R=thr_R.astype(jnp.uint8), minima=minima,
                            da=da.astype(jnp.uint8), stats=stats)

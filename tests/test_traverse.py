@@ -122,7 +122,7 @@ def test_queue_roll_reclaim_matches_large_queue(rng):
     init = jnp.asarray(fm.root()[None, :].astype(np.int32))
 
     def run(cap):
-        nf = jnp.zeros(n, jnp.int32)
+        nf = jnp.zeros(T._flag_words(n), jnp.int32)
         (nf,), stats, overflow, maxp = T._queue_phase(
             (fm,), init, (nf,), body=T._node_body, queue_cap=cap,
             chunk=T.CHUNK, K=5, k_right=8,
