@@ -104,9 +104,11 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
     t0 = time.perf_counter()
     log("Phase 1/4: loading and indexing eBWT ... ")
+    tmark_idx = _timing_marker()
     fm = FMIndex.from_file(cfg.input1, cfg.term)
     jax.block_until_ready(fm.blocks)
     t1 = time.perf_counter()
+    tmark_idx("index pack+upload")
     log(f"done. [{t1 - t0:.2f}s]")
 
     log("\nPhase 2-3/4: suffix-tree wavefront navigation.")
@@ -224,8 +226,11 @@ def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
 def run_two_datasets(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWTs ... ")
+    tmark_idx = _timing_marker()
     fm1 = FMIndex.from_file(cfg.input1, cfg.term)
     fm2 = FMIndex.from_file(cfg.input2, cfg.term)
+    jax.block_until_ready(fm2.blocks)
+    tmark_idx("index pack+upload")
     log("done.")
 
     log("\nPhase 2-3/4: merged suffix-tree wavefront navigation.")
@@ -383,8 +388,11 @@ def _emit_pair_clusters(writer, cfg, B, found, quirk0, quirk1,
 def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWT ... ")
+    tmark_idx = _timing_marker()
     codes = packing.read_ebwt_codes(cfg.input1, cfg.term)
     fm = FMIndex.from_packed(packing.pack_codes(codes, cfg.term))
+    jax.block_until_ready(fm.blocks)
+    tmark_idx("index pack+upload")
     log("done.")
 
     log("\nPhase 2-3/4: suffix-tree wavefront navigation.")
