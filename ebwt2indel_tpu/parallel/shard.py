@@ -183,6 +183,122 @@ def local_parallel_rank(blocks_local, rows_per_shard, i):
     return out.reshape(shape + (4,))
 
 
+def _local_decode_multi(rows, o):
+    """Decode k offsets per anchor row. rows: uint32 (cap, 16); o: int32
+    (cap, k) in-block offsets all decoded against that row. Returns int32
+    (cap, k, 4) — the sharded twin of ops.rank._decode_rank_T_multi."""
+    rowT = rows.T  # (16, cap)
+    p0 = rowT[0:4][:, None, :]
+    p1 = rowT[4:8][:, None, :]
+    p2 = rowT[8:12][:, None, :]
+    cnt = rowT[12:16].astype(jnp.int32)  # (4, cap)
+    w = jnp.arange(4, dtype=jnp.int32)[:, None, None]
+    oT = o.T[None, :, :]  # (1, k, cap)
+    take = jnp.clip(oT - w * 32, 0, 32)
+    sh = jnp.minimum(take, 31).astype(jnp.uint32)
+    mask = jnp.where(take == 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << sh) - jnp.uint32(1))
+    np2m = ~p2 & mask
+    t0 = p0 & np2m
+    tt1 = p1 & np2m
+    t2 = p0 & tt1
+    pc = jax.lax.population_count
+    S = pc(np2m).sum(axis=0, dtype=jnp.int32)  # (k, cap)
+    x = pc(t0).sum(axis=0, dtype=jnp.int32)
+    y = pc(tt1).sum(axis=0, dtype=jnp.int32)
+    z = pc(t2).sum(axis=0, dtype=jnp.int32)
+    out = jnp.stack(
+        [cnt[0][None] + (S - x - y + z), cnt[1][None] + (x - z),
+         cnt[2][None] + (y - z), cnt[3][None] + z], axis=-1)  # (k, cap, 4)
+    return jnp.swapaxes(out, 0, 1)  # (cap, k, 4)
+
+
+def local_parallel_rank_sorted(blocks_l, rows_per_shard, coords,
+                               budget: int):
+    """Per-shard contribution to the narrow 2-anchor sorted rank inside a
+    shard_map region (the mesh twin of ops.rank.parallel_rank_sorted;
+    combine with a psum). coords: int32 (C, k), rows non-decreasing.
+
+    Owned-ANCHOR compaction: each node contributes 2 anchor queries (the
+    blocks of coords[:,0] and coords[:,k-1]); a shard compacts the anchors
+    whose rows it owns (2x-slack buffer as local_parallel_rank), gathers
+    one row per owned anchor, and decodes all k offsets of the node
+    against it — per-shard gather work is O(2C/n_dev) rows instead of
+    O(kC/n_dev) queries. Coordinates select their own anchor (lo-anchor
+    entries answer ~use_hi coordinates, hi-anchor entries use_hi ones), so
+    the psum-add never double-counts. Rows straddling >= 3 blocks are
+    fixed exactly by a budget-sliced side loop over the replicated wide
+    mask (deterministic lockstep across shards: bv_select indices are
+    computed identically everywhere; only the dense rank is sharded, with
+    the psum inside the loop body)."""
+    from ..ops import bits as bits_ops
+
+    sid = jax.lax.axis_index(AXIS)
+    n_dev = jax.lax.axis_size(AXIS)
+    base = sid * rows_per_shard
+    C, k = coords.shape
+    b = jax.lax.shift_right_logical(coords, 7)
+    o = coords & jnp.int32(127)
+    use_hi = b == b[:, k - 1][:, None]  # replicated
+    lo_cov = ~use_hi & (b == b[:, :1])
+
+    anchors = jnp.stack([b[:, 0], b[:, k - 1]], axis=1).reshape(-1)  # (2C,)
+    local = anchors - base
+    mine = (local >= 0) & (local < rows_per_shard)
+    cap = max(128, -(-4 * C // n_dev))
+    slot = jnp.cumsum(mine.astype(jnp.int32)) - 1
+    count = slot[-1] + 1
+    tgt = jnp.where(mine, slot, cap)
+
+    def anchor_path(_):
+        ids = jnp.full(cap, 2 * C, jnp.int32).at[tgt].set(
+            jnp.arange(2 * C, dtype=jnp.int32), mode="drop"
+        )
+        nbuf = jnp.minimum(jax.lax.shift_right_logical(ids, 1), C - 1)
+        abuf = anchors[jnp.minimum(ids, 2 * C - 1)]
+        rows = blocks_l[jnp.clip(abuf - base, 0, rows_per_shard - 1)]
+        dec = _local_decode_multi(rows, o[nbuf])  # (cap, k, 4)
+        is_hi = (ids & 1) == 1
+        sel = jnp.where(is_hi[:, None], use_hi[nbuf], lo_cov[nbuf])
+        sel = sel & (ids < 2 * C)[:, None]
+        dec = jnp.where(sel[:, :, None], dec, 0)
+        return jnp.zeros((C, k, 4), jnp.int32).at[
+            jnp.where(ids < 2 * C, nbuf, C)
+        ].add(dec, mode="drop")
+
+    def dense_path(_):
+        out = local_parallel_rank(blocks_l, rows_per_shard, coords)
+        return jnp.where((use_hi | lo_cov)[:, :, None], out, 0)
+
+    dec = jax.lax.cond(count <= cap, anchor_path, dense_path, None)
+
+    # wide rows: replicated mask, budget-sliced side loop; only the dense
+    # rank inside is sharded (psum'd by the caller via the final psum? no —
+    # contributions stay local; each shard zeroes non-owned answers just
+    # like local_parallel_rank, and the caller's single psum combines
+    # everything at once)
+    wide = ~jnp.all(use_hi | (b == b[:, :1]), axis=1)
+    n_wide = jnp.sum(wide.astype(jnp.int32))
+    words, counts = bits_ops.bv_build(wide.astype(jnp.uint8))
+    ar = jnp.arange(budget, dtype=jnp.int32)
+
+    def wcond(state):
+        return state[0] * budget < n_wide
+
+    def wstep(state):
+        it, dec = state
+        r = it * budget + ar
+        ok = r < n_wide
+        sel = rank.bv_select(words, counts, jnp.where(ok, r, 0))
+        sel = jnp.clip(sel, 0, C - 1)
+        wdec = local_parallel_rank(blocks_l, rows_per_shard, coords[sel])
+        dec = dec.at[jnp.where(ok, sel, C)].set(wdec, mode="drop")
+        return it + 1, dec
+
+    _, dec = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), dec))
+    return dec
+
+
 def local_select(blocks_l, counts_l, bounds, rows_per_shard, r, c):
     """Per-shard contribution to batched select inside a shard_map region:
     the shard owning the (r+1)-th occurrence of char c (by the replicated

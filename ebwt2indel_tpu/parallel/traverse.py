@@ -54,7 +54,10 @@ def _sharded_node_phase(mesh, blocks, F, init, nf, *, rows_per_shard,
         def extend(nodes):
             coords = nodes[:, :6]
             ranks = jax.lax.psum(
-                shard.local_parallel_rank(blocks_l, rows_per_shard, coords), AXIS
+                shard.local_parallel_rank_sorted(
+                    blocks_l, rows_per_shard, coords,
+                    budget=max(128, chunk // 8),
+                ), AXIS
             )
             ext = F_rep[:, None] + jnp.swapaxes(ranks, -1, -2)
             depth = jnp.broadcast_to(nodes[:, 6:7, None] + 1,
@@ -454,9 +457,12 @@ def _sharded_node_pair_phase(mesh, blocks1, blocks2, F1, F2, init, nf, *,
         w = 13
 
         def extend(nodes):
+            bud = max(128, chunk // 8)
             r1, r2 = jax.lax.psum(
-                (shard.local_parallel_rank(b1_l, rows1, nodes[:, 0:6]),
-                 shard.local_parallel_rank(b2_l, rows2, nodes[:, 6:12])),
+                (shard.local_parallel_rank_sorted(b1_l, rows1,
+                                                  nodes[:, 0:6], budget=bud),
+                 shard.local_parallel_rank_sorted(b2_l, rows2,
+                                                  nodes[:, 6:12], budget=bud)),
                 AXIS,
             )  # each (C, 6, 4)
             ext1 = F1r[:, None] + jnp.swapaxes(r1, -1, -2)  # (C, 4, 6)

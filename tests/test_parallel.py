@@ -39,6 +39,40 @@ def test_sharded_rank_skewed_queries_fallback(rng):
         np.testing.assert_array_equal(row, oracle.rank_oracle(codes, int(q)))
 
 
+def test_sharded_sorted_rank_matches_dense(rng):
+    """Owned-anchor narrow rank on the mesh equals the dense sharded rank
+    on sorted coordinate tuples with narrow, wide, and skewed rows."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    mesh = shard.make_mesh(8)
+    codes = random_codes(rng, 60000)
+    pb = packing.pack_codes(codes)
+    blocks, bcounts, F, rows = shard.shard_packed(pb, mesh)
+    C, k = 300, 6
+    start = rng.integers(0, pb.n - 1500, size=C)
+    width = np.where(rng.random(C) < 0.3,
+                     rng.integers(300, 1500, size=C),
+                     rng.integers(0, 50, size=C))
+    offs = np.sort(rng.integers(0, width[:, None] + 1, size=(C, k)), axis=1)
+    coords = (start[:, None] + offs).astype(np.int32)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(shard.AXIS, None), P()),
+             out_specs=P(), check_vma=False)
+    def run(blocks_l, q):
+        return jax.lax.psum(
+            shard.local_parallel_rank_sorted(blocks_l, rows, q, budget=64),
+            shard.AXIS,
+        )
+
+    got = np.asarray(jax.jit(run)(blocks, jnp.asarray(coords)))
+    from ebwt2indel_tpu.ops import rank as rank_ops
+
+    want = np.asarray(rank_ops.parallel_rank(jnp.asarray(pb.blocks),
+                                             jnp.asarray(coords)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_cluster_scan(rng):
     mesh = shard.make_mesh(8)
     n = 8 * 1000
