@@ -135,13 +135,70 @@ def _unpack_flags(nf, n: int):
 # ---------------------------------------------------------------------------
 
 
-def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
-    """Suffix-tree leaf step (phase 2). chunk: (C,3) [first, second, depth].
+def _leaf_children(fm, first, second, depth, valid):
+    """Shared leaf-extension tail: W# left-extensions with size >= 2
+    (next_leaves, dna_bwt.hpp:358-379)."""
+    C = first.shape[0]
+    if _DEDUP_FRAC > 0:
+        lo4, hi4 = fm_ops.lf_range_dedup(
+            fm, first, second, budget=_dedup_budget(2 * C)
+        )
+    else:
+        lo4, hi4 = fm_ops.lf_range(fm, first, second)
+    child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
+    children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
+    keep = valid[:, None] & ((hi4 - lo4) >= 2)
+    return _compact(
+        jnp.swapaxes(children, 0, 1).reshape(C * 4, 3),
+        jnp.swapaxes(keep, 0, 1).reshape(C * 4),
+    )
 
-    Interior LCP-threshold fills as boundary deltas
-    (reference: update_LCP_leaf, ebwt2InDel.cpp:344-355); children = W#
-    left-extensions with size >= 2 (next_leaves, dna_bwt.hpp:358-379).
+
+def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
+    """Suffix-tree leaf step (phase 2), dual-lane packed deltas.
+    chunk: (C,3) [first, second, depth].
+
+    Interior LCP-threshold fills as boundary deltas (reference:
+    update_LCP_leaf, ebwt2InDel.cpp:344-355). The K- and R-deltas of a
+    leaf target the SAME two indices (first+1, second), so both ride one
+    int32 word — K in the low 16 bits, R in the high 16 — halving scatter
+    entries (2 per leaf) and the (n+1,) target. Integer addition makes
+    the final word exactly netK + 65536*netR; the carry-aware decode in
+    navigate_one_bwt is exact while every per-position net count stays
+    below 2^15, which stats[2] (max leaf depth, an upper bound on the
+    boundary nesting count) verifies after the phase — the wide int32
+    formulation (_leaf_body_wide) reruns the phase in the pathological
+    case and only compiles then.
     """
+    (dif,) = flags  # (n+1,) int32 dual-lane: low 16 K-diff, high 16 R-diff
+    C = chunk.shape[0]
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    first, second, depth = chunk[:, 0], chunk[:, 1], chunk[:, 2]
+    dummy = jnp.int32(dif.shape[0])
+
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    v = condK * 1 + condR * 65536
+    idx = jnp.concatenate([
+        jnp.where(v > 0, first + 1, dummy),
+        jnp.where(v > 0, second, dummy),
+    ])
+    val = jnp.concatenate([v, -v])
+    dif = dif.at[idx].add(val, mode="drop")
+
+    out, n_out = _leaf_children(fm, first, second, depth, valid)
+    stats = (
+        stats[0] + count,  # leaves visited
+        stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),  # lcp
+        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
+        stats[3],
+    )
+    return out, n_out, (dif,), stats
+
+
+def _leaf_body_wide(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
+    """Int32-per-field leaf step — the exact-for-any-depth fallback of
+    _leaf_body (compiled lazily, only when max leaf depth >= 2^15 - 2)."""
     (dif,) = flags  # (2*(n+1),) int32: field 0 = K-diff, field 1 = R-diff
     C = chunk.shape[0]
     stride = dif.shape[0] // 2
@@ -163,27 +220,29 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     ])
     dif = dif.at[idx].add(val, mode="drop")
 
-    if _DEDUP_FRAC > 0:
-        lo4, hi4 = fm_ops.lf_range_dedup(
-            fm, first, second, budget=_dedup_budget(2 * C)
-        )
-    else:
-        lo4, hi4 = fm_ops.lf_range(fm, first, second)
-    child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
-    children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
-    keep = valid[:, None] & ((hi4 - lo4) >= 2)
-    out, n_out = _compact(
-        jnp.swapaxes(children, 0, 1).reshape(C * 4, 3),
-        jnp.swapaxes(keep, 0, 1).reshape(C * 4),
-    )
-
+    out, n_out = _leaf_children(fm, first, second, depth, valid)
     stats = (
-        stats[0] + count,  # leaves visited
-        stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),  # lcp
+        stats[0] + count,
+        stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),
         stats[2],
         stats[3],
     )
     return out, n_out, (dif,), stats
+
+
+# packed dual-lane leaf deltas stay exact while every per-position net
+# boundary count < 2^15; max leaf depth bounds that count (a leaf chain
+# sharing a boundary has distinct depths), with margin for safety
+_LANE_SAFE_DEPTH = 32000
+
+
+def _split_lanes(dif):
+    """Carry-aware dual-lane decode: word == netK + 65536*netR exactly
+    (integer addition is order-free), so sign-extending the low half and
+    subtracting recovers both lanes while |netK| < 2^15."""
+    netK = (dif << 16) >> 16  # arithmetic: sign-extend low 16 bits
+    netR = (dif - netK) >> 16  # exact multiple of 2^16
+    return netK, netR
 
 
 def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
@@ -246,13 +305,69 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     return out, n_out, (nf,), stats
 
 
+def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid):
+    """Shared leaf-pair extension tail: children kept iff combined size
+    >= 2 (ebwt2InDel.cpp:452-472) — size-1 leaves recover in the node
+    phase."""
+    C = f1.shape[0]
+    if _DEDUP_FRAC > 0:
+        b = _dedup_budget(2 * C)
+        lo1, hi1 = fm_ops.lf_range_dedup(fm1, f1, s1, budget=b)
+        lo2, hi2 = fm_ops.lf_range_dedup(fm2, f2, s2, budget=b)
+    else:
+        lo1, hi1 = fm_ops.lf_range(fm1, f1, s1)
+        lo2, hi2 = fm_ops.lf_range(fm2, f2, s2)
+    child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
+    children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
+    combined = (hi1 - lo1) + (hi2 - lo2)
+    keep = (valid[:, None] & (combined >= 2)).reshape(C * 4)
+    return _compact(children.reshape(C * 4, 5), keep)
+
+
 def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
-    """Leaf-pair step for the lockstep two-BWT merge. chunk: (C,5)
-    [f1, s1, f2, s2, depth]. DA + merged LCP fills (update_DA,
-    ebwt2InDel.cpp:394-425); children kept iff combined size >= 2
-    (ebwt2InDel.cpp:452-472) — size-1 leaves recover in the node phase.
+    """Leaf-pair step for the lockstep two-BWT merge, dual-lane packed
+    deltas (see _leaf_body). chunk: (C,5) [f1, s1, f2, s2, depth]. DA +
+    merged LCP fills (update_DA, ebwt2InDel.cpp:394-425). dif layout
+    (2*(n+1),): area 0 = dual-lane K/R word, area 1 = DA-diff int32.
     """
-    (dif,) = flags  # (3*(n+1),) i32: fields K-diff, R-diff, DA-diff
+    (dif,) = flags
+    C = chunk.shape[0]
+    stride = dif.shape[0] // 2
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
+    start1 = f1 + f2
+    start2 = f2 + s1
+    end = s1 + s2
+    dummy = jnp.int32(dif.shape[0])
+
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    v = condK * 1 + condR * 65536
+    one = jnp.ones(C, jnp.int32)
+    idx = jnp.concatenate([
+        jnp.where(v > 0, start1 + 1, dummy),
+        jnp.where(v > 0, end, dummy),
+        jnp.where(valid, start2 + stride, dummy),
+        jnp.where(valid, end + stride, dummy),
+    ])
+    val = jnp.concatenate([v, -v, one, -one])
+    dif = dif.at[idx].add(val, mode="drop")
+
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid)
+    stats = (
+        stats[0] + count,
+        stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
+        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
+        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
+    )
+    return out, n_out, (dif,), stats
+
+
+def _leaf_pair_body_wide(fm1, fm2, chunk, count, flags, stats, *, K,
+                         k_right):
+    """Int32-per-field leaf-pair step — the any-depth fallback of
+    _leaf_pair_body (compiled lazily). dif: (3*(n+1),) fields K, R, DA."""
+    (dif,) = flags
     C = chunk.shape[0]
     stride = dif.shape[0] // 3
     valid = jnp.arange(C, dtype=jnp.int32) < count
@@ -276,24 +391,12 @@ def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     val = jnp.concatenate([one, -one, one, -one, one, -one])
     dif = dif.at[idx].add(val, mode="drop")
 
-    if _DEDUP_FRAC > 0:
-        b = _dedup_budget(2 * C)
-        lo1, hi1 = fm_ops.lf_range_dedup(fm1, f1, s1, budget=b)
-        lo2, hi2 = fm_ops.lf_range_dedup(fm2, f2, s2, budget=b)
-    else:
-        lo1, hi1 = fm_ops.lf_range(fm1, f1, s1)
-        lo2, hi2 = fm_ops.lf_range(fm2, f2, s2)
-    child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
-    children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
-    combined = (hi1 - lo1) + (hi2 - lo2)
-    keep = (valid[:, None] & (combined >= 2)).reshape(C * 4)
-    out, n_out = _compact(children.reshape(C * 4, 5), keep)
-
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid)
     stats = (
         stats[0] + count,
         stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
         stats[2],
-        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
+        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),
     )
     return out, n_out, (dif,), stats
 
@@ -488,7 +591,6 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
     ebwt2InDel.cpp:555-676): leaf phase then node phase, each a single
     compiled device program."""
     n = fm.n
-    dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
     nf = jnp.zeros(_flag_words(n), dtype=jnp.int32)
 
     import os
@@ -496,11 +598,23 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
 
     timing = os.environ.get("EBWT_TIMING")
     t0 = _time.perf_counter()
+    dif = jnp.zeros(n + 1, dtype=jnp.int32)
     (dif,), st_l, maxp_l = _run_phase(
         (fm,), fm.first_leaf()[None, :], (dif,), _leaf_body, n, K, k_right,
     )
+    if int(st_l[2]) >= _LANE_SAFE_DEPTH:
+        # per-position net counts may exceed the 16-bit lane: rerun with
+        # the int32-per-field program (first compile happens only here)
+        dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
+        (dif,), st_l, maxp_l = _run_phase(
+            (fm,), fm.first_leaf()[None, :], (dif,), _leaf_body_wide, n,
+            K, k_right,
+        )
+        difK, difR = dif[: n + 1], dif[n + 1:]
+    else:
+        difK, difR = _split_lanes(dif)
     if timing:
-        np.asarray(dif[:1])
+        np.asarray(difK[:1])
         print(f"[timing] leaf phase: {_time.perf_counter() - t0:.2f}s",
               flush=True)
         t0 = _time.perf_counter()
@@ -519,8 +633,8 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
         "max_pending": max(maxp_l, maxp_n),
     }
     pf = _unpack_flags(nf, n)
-    fill_K = jnp.cumsum(dif[: n]) > 0
-    fill_R = jnp.cumsum(dif[n + 1 : 2 * n + 1]) > 0
+    fill_K = jnp.cumsum(difK[: n]) > 0
+    fill_R = jnp.cumsum(difR[: n]) > 0
     thr_K = ((pf & 1) != 0) | fill_K
     thr_R = ((pf & 2) != 0) | fill_R
     minima = ((pf & 4) != 0).astype(jnp.uint8)
@@ -534,15 +648,25 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
     """Lockstep navigation of two suffix trees simulating the merged
     collection (reference: navigate_two_bwts, ebwt2InDel.cpp:679-831)."""
     n = fm1.n + fm2.n
-    dif = jnp.zeros(3 * (n + 1), dtype=jnp.int32)
     nf = jnp.zeros(_flag_words(n), dtype=jnp.int32)
 
     l1 = fm1.first_leaf()
     l2 = fm2.first_leaf()
     start = np.array([[l1[0], l1[1], l2[0], l2[1], 0]], dtype=np.int32)
+    dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
     (dif,), st_l, maxp_l = _run_phase(
         (fm1, fm2), start, (dif,), _leaf_pair_body, n, K, k_right,
     )
+    if int(st_l[2]) >= _LANE_SAFE_DEPTH:
+        dif = jnp.zeros(3 * (n + 1), dtype=jnp.int32)
+        (dif,), st_l, maxp_l = _run_phase(
+            (fm1, fm2), start, (dif,), _leaf_pair_body_wide, n, K, k_right,
+        )
+        difK, difR = dif[: n + 1], dif[n + 1: 2 * (n + 1)]
+        difD = dif[2 * (n + 1):]
+    else:
+        difK, difR = _split_lanes(dif[: n + 1])
+        difD = dif[n + 1:]
 
     r1 = fm1.root()
     r2 = fm2.root()
@@ -558,12 +682,11 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
         "da_values": int(st_l[3]) + int(st_n[3]),
         "max_pending": max(maxp_l, maxp_n),
     }
-    s0 = n + 1
     pf = _unpack_flags(nf, n)
-    thr_K = ((pf & 1) != 0) | (jnp.cumsum(dif[:n]) > 0)
-    thr_R = ((pf & 2) != 0) | (jnp.cumsum(dif[s0 : s0 + n]) > 0)
+    thr_K = ((pf & 1) != 0) | (jnp.cumsum(difK[:n]) > 0)
+    thr_R = ((pf & 2) != 0) | (jnp.cumsum(difR[:n]) > 0)
     minima = ((pf & 4) != 0).astype(jnp.uint8)
-    da = ((pf & 8) != 0) | (jnp.cumsum(dif[2 * s0 : 2 * s0 + n]) > 0)
+    da = ((pf & 8) != 0) | (jnp.cumsum(difD[:n]) > 0)
     return TraversalResult(thr_K=thr_K.astype(jnp.uint8),
                            thr_R=thr_R.astype(jnp.uint8), minima=minima,
                            da=da.astype(jnp.uint8), stats=stats)

@@ -57,6 +57,34 @@ def test_navigate_one_bwt_lcp_threshold(seed, n_reads, length):
     assert np.all(true_min[minima == 1] == 1)
 
 
+def test_leaf_wide_fallback_matches_packed(rng, monkeypatch):
+    """Forcing the int32-per-field leaf programs (as on pathological
+    >=2^15-depth inputs) must give identical flags to the packed dual-lane
+    default, in both single and pair navigation."""
+    from ebwt2indel_tpu.models import traverse as T
+
+    genome = "".join(rng.choice(list("ACGT"), size=200))
+    reads = oracle.random_reads(rng, 20, 25, mutate_from=genome)
+    reads2 = oracle.random_reads(rng, 15, 25, mutate_from=genome)
+    fm, _ = build_fm(reads)
+    fm2, _ = build_fm(reads2)
+
+    packed1 = traverse.navigate_one_bwt(fm, 5, 8)
+    packed2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
+    monkeypatch.setattr(T, "_LANE_SAFE_DEPTH", 0)
+    wide1 = traverse.navigate_one_bwt(fm, 5, 8)
+    wide2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
+    for a, b in ((packed1, wide1), (packed2, wide2)):
+        np.testing.assert_array_equal(np.asarray(a.thr_K),
+                                      np.asarray(b.thr_K))
+        np.testing.assert_array_equal(np.asarray(a.thr_R),
+                                      np.asarray(b.thr_R))
+        np.testing.assert_array_equal(np.asarray(a.minima),
+                                      np.asarray(b.minima))
+    np.testing.assert_array_equal(np.asarray(packed2.da),
+                                  np.asarray(wide2.da))
+
+
 def test_navigate_two_bwts_matches_merged(rng):
     genome = "".join(rng.choice(list("ACGT"), size=150))
     reads1 = oracle.random_reads(rng, 12, 25, mutate_from=genome)
