@@ -389,8 +389,8 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWT ... ")
     tmark_idx = _timing_marker()
-    codes = packing.read_ebwt_codes(cfg.input1, cfg.term)
-    fm = FMIndex.from_packed(packing.pack_codes(codes, cfg.term))
+    raw = np.fromfile(cfg.input1, dtype=np.uint8)
+    fm = FMIndex.from_packed(packing.pack_bytes(raw, cfg.term))
     jax.block_until_ready(fm.blocks)
     tmark_idx("index pack+upload")
     log("done.")
@@ -404,11 +404,15 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
+    tmark_idx2 = _timing_marker()
     da = packing.read_da_file(cfg.input_da, fm.n)
     # rank structure over the DA=1 side: replace DA=0 characters with TERM so
-    # per-individual counts come from two rank diffs (SURVEY.md §7 layer 5)
-    codes_da1 = np.where(da != 0, codes, np.uint8(dna.TERM_CODE))
-    fm_da1 = FMIndex.from_packed(packing.pack_codes(codes_da1, cfg.term))
+    # per-individual counts come from two rank diffs (SURVEY.md §7 layer 5);
+    # masking happens in ASCII space so the native packer handles both
+    # indexes (the numpy pack path costs seconds at genome scale)
+    raw_da1 = np.where(da != 0, raw, np.uint8(cfg.term))
+    fm_da1 = FMIndex.from_packed(packing.pack_bytes(raw_da1, cfg.term))
+    tmark_idx2("DA load + masked index pack+upload")
     # upload the DA as the packed rank-1 structure (n/8 + n/32 bytes)
     # instead of n raw bytes — no O(n) transfer, no host cumsum
     w_h, c_h = packing.pack_bitvector(da)

@@ -650,6 +650,11 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
     n = fm1.n + fm2.n
     nf = jnp.zeros(_flag_words(n), dtype=jnp.int32)
 
+    import os
+    import time as _time
+
+    timing = os.environ.get("EBWT_TIMING")
+    t0 = _time.perf_counter()
     l1 = fm1.first_leaf()
     l2 = fm2.first_leaf()
     start = np.array([[l1[0], l1[1], l2[0], l2[1], 0]], dtype=np.int32)
@@ -667,6 +672,11 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
     else:
         difK, difR = _split_lanes(dif[: n + 1])
         difD = dif[n + 1:]
+    if timing:
+        np.asarray(difK[:1])
+        print(f"[timing] leaf-pair phase: {_time.perf_counter() - t0:.2f}s",
+              flush=True)
+        t0 = _time.perf_counter()
 
     r1 = fm1.root()
     r2 = fm2.root()
@@ -674,6 +684,10 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
     (nf,), st_n, maxp_n = _run_phase(
         (fm1, fm2), start, (nf,), _node_pair_body, n, K, k_right,
     )
+    if timing:
+        np.asarray(nf[:1])
+        print(f"[timing] node-pair phase: {_time.perf_counter() - t0:.2f}s",
+              flush=True)
 
     stats = {
         "leaves": int(st_l[0]), "nodes": int(st_n[0]),

@@ -129,11 +129,45 @@ def read_ebwt_codes(path: str, term: int = dna.DEFAULT_TERM) -> np.ndarray:
     return codes
 
 
+def ascii_to_codes(raw: np.ndarray, term: int = dna.DEFAULT_TERM) -> np.ndarray:
+    """ASCII bytes -> codes, validating the alphabet with the reference's
+    message (internal/dna_string.hpp:76-105)."""
+    tbl = dna.code_table(term)
+    codes = tbl[raw]
+    bad = codes == 255
+    if bad.any():
+        ch = int(raw[bad.argmax()])
+        raise ValueError(
+            f"Error while reading file: read forbidden character "
+            f"'{chr(ch)}' (ASCII code {ch}). Only A,C,G,T, and {chr(term)} are "
+            f"admitted in the input BWT! If the unknown character is the "
+            f"terminator, you can solve the problem by adding option "
+            f'"-t {ch}".'
+        )
+    return codes
+
+
+def pack_bytes(raw: np.ndarray, term: int = dna.DEFAULT_TERM) -> PackedBwt:
+    """Pack raw ASCII bytes (native multithreaded C++ fast path; numpy
+    fallback when the toolchain is unavailable). Forbidden-character
+    errors propagate with the reference's message either way."""
+    try:
+        from . import native
+
+        return native.pack_bytes(raw, term)
+    except ValueError:
+        raise
+    except Exception:
+        return pack_codes(ascii_to_codes(raw, term), term)
+
+
 def pack_file(path: str, term: int = dna.DEFAULT_TERM) -> PackedBwt:
     try:
         from . import native  # optional C++ fast path
 
         return native.pack_file(path, term)
+    except ValueError:
+        raise
     except Exception:
         return pack_codes(read_ebwt_codes(path, term), term)
 
