@@ -130,37 +130,6 @@ def _unpack_flags(nf, n: int):
     return (jax.lax.shift_right_logical(nf[:, None], sh) & 15).reshape(-1)[:n]
 
 
-def _append_entries(ebuf, ecount, eovf, borders, vals):
-    """Sort-compact the chunk's (position, value) flag writes to the front
-    and tail-append the whole block to the entry log.
-
-    Real entries (val > 0) keep their index as sort key and land first in
-    original order; the appended block's dummy tail is overwritten by the
-    next append (the work-queue invariant), and rows past the final count
-    are masked at apply time. On overflow the write clamps (the phase
-    restarts with a bigger log). ebuf: (cap, 2) int32; returns updated
-    (ebuf, ecount, eovf)."""
-    m = borders.shape[0]
-    iota = jnp.arange(m, dtype=jnp.int32)
-    _, sidx, sval = jax.lax.sort(
-        (jnp.where(vals > 0, iota, m + iota), borders, vals), num_keys=1
-    )
-    n_real = jnp.sum((vals > 0).astype(jnp.int32))
-    can_at = jnp.minimum(ecount, ebuf.shape[0] - m)
-    ebuf = jax.lax.dynamic_update_slice(
-        ebuf, jnp.stack([sidx, sval], axis=-1), (can_at, jnp.int32(0))
-    )
-    eovf = eovf | (ecount + m > ebuf.shape[0])
-    return ebuf, ecount + n_real, eovf
-
-
-def _apply_entries(nf, ebuf, ecount):
-    """One masked nibble-packed scatter of the logged flag writes."""
-    live = jnp.arange(ebuf.shape[0], dtype=jnp.int32) < ecount
-    borders = jnp.where(live, ebuf[:, 0], jnp.int32(nf.shape[0] * 8))
-    return _flag_scatter(nf, borders, ebuf[:, 1])
-
-
 # ---------------------------------------------------------------------------
 # chunk bodies — pure functions (chunk, count, flags, stats) -> updated
 # ---------------------------------------------------------------------------
@@ -282,23 +251,21 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     update_lcp_minima ebwt2InDel.cpp:357-391; next_nodes dna_bwt.hpp:381-404).
     chunk: (C,7).
     """
-    (ebuf, ecount, eovf) = flags  # flag-entry log (see _append_entries)
+    (nf,) = flags  # packed flag words (see _flag_scatter)
+    # (int32 words, not uint8 flags: sub-word scatters lower to a
+    # full-array rewrite on TPU — word-sized updates take the fast path)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     depth = chunk[:, 6]
     last = chunk[:, 5]
+    dummy = jnp.int32(nf.shape[0] * 8)
     lcp_values = jnp.int32(0)
     n_min = jnp.int32(0)
 
-    # border writes are LOGGED, not scattered: only ~4% of border slots
-    # carry a nonzero flag value at genome scale (most borders fail the
-    # depth/minima conditions), while the in-loop scatter pays ~9 ns per
-    # SLOT. A 3-operand sort compacts the real entries to the front
-    # (~1.6 ms/1M vs 9.3 ms for the scatter) and one masked scatter at
-    # phase end applies the ~n/8 real writes. Every flagged position is
-    # written by exactly one (node, border) across the whole traversal
-    # (the border's LCP value is that unique node's depth), so the add
-    # never collides on a bit.
+    # one nibble-packed add-scatter for all border writes: every flagged
+    # position is written by exactly one (node, border) across the whole
+    # traversal (the border's LCP value is that unique node's depth), so
+    # add never collides on a bit
     idxs = []
     vals = []
     for j in range(1, 5):
@@ -312,11 +279,9 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
             cond_m = valid & (prev_size >= 2) & (border < last - 1)
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
             v = v + cond_m * 4
-        idxs.append(border)
+        idxs.append(jnp.where(v > 0, border, dummy))
         vals.append(v)
-    ebuf, ecount, eovf = _append_entries(
-        ebuf, ecount, eovf, jnp.concatenate(idxs), jnp.concatenate(vals)
-    )
+    nf = _flag_scatter(nf, jnp.concatenate(idxs), jnp.concatenate(vals))
 
     if _DEDUP_FRAC > 0:
         ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
@@ -337,7 +302,7 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3])
-    return out, n_out, (ebuf, ecount, eovf), stats
+    return out, n_out, (nf,), stats
 
 
 def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid):
@@ -442,7 +407,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     (ebwt2InDel.cpp:792-802), pairwise Weiner extension keeping pairs with
     >= 2 union children (ebwt2InDel.cpp:529-553). chunk: (C,13).
     """
-    (ebuf, ecount, eovf) = flags  # flag-entry log (see _append_entries)
+    (nf,) = flags  # packed flag words (see _flag_scatter)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     c1 = chunk[:, 0:6]
@@ -450,13 +415,13 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     depth = chunk[:, 12]
     merged = c1 + c2
     last = merged[:, 5]
+    dummy = jnp.int32(nf.shape[0] * 8)
 
     idxs = []
     vals = []
     # find_leaves: a singleton merged position gets its DA bit from exactly
     # one visited node pair (a deeper pair over the same singleton interval
-    # cannot have >= 2 union children), so the add never collides; writes
-    # are logged and sort-compacted, not scattered (see _node_body)
+    # cannot have >= 2 union children), so the add never collides
     da_values = jnp.int32(0)
     for j in range(5):
         l1 = c1[:, j + 1] - c1[:, j]
@@ -465,7 +430,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
         pos = c1[:, j] + c2[:, j]
         da_values = da_values + jnp.sum(cond.astype(jnp.int32))
         cond_da = cond & (l2 == 1)
-        idxs.append(pos)
+        idxs.append(jnp.where(cond_da, pos, dummy))
         vals.append(cond_da * 8)
 
     lcp_values = jnp.int32(0)
@@ -481,11 +446,9 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
             cond_m = valid & (prev_size >= 2) & (border < last - 1)
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
             v = v + cond_m * 4
-        idxs.append(border)
+        idxs.append(jnp.where(v > 0, border, dummy))
         vals.append(v)
-    ebuf, ecount, eovf = _append_entries(
-        ebuf, ecount, eovf, jnp.concatenate(idxs), jnp.concatenate(vals)
-    )
+    nf = _flag_scatter(nf, jnp.concatenate(idxs), jnp.concatenate(vals))
 
     if _DEDUP_FRAC > 0:
         # pair chunks are especially run-heavy: a string present in only
@@ -515,7 +478,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3] + da_values)
-    return out, n_out, (ebuf, ecount, eovf), stats
+    return out, n_out, (nf,), stats
 
 
 # ---------------------------------------------------------------------------
@@ -526,17 +489,14 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
 
 @partial(jax.jit, static_argnames=("K", "k_right"), donate_argnums=(3,))
 def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
-    """One internal-node chunk step applying its flag writes to the packed
-    flag words (8 positions x 4 bits per int32; 1=thr_K, 2=thr_R,
-    4=minima). The exposed single-dispatch 'forward step' of the flagship
-    compute path (used by __graft_entry__)."""
-    C = nodes.shape[0]
-    ebuf = jnp.zeros((8 * C, 2), dtype=jnp.int32)
-    out, n_out, (ebuf, ecount, _), st = _node_body(
-        fm, nodes, count, (ebuf, jnp.int32(0), jnp.bool_(False)),
+    """One internal-node chunk step over the packed flag words (8 positions
+    x 4 bits per int32; 1=thr_K, 2=thr_R, 4=minima). The exposed
+    single-dispatch 'forward step' of the flagship compute path (used by
+    __graft_entry__)."""
+    out, n_out, (nf,), st = _node_body(
+        fm, nodes, count, (node_flags,),
         (jnp.int32(0),) * 4, K=K, k_right=k_right
     )
-    nf = _apply_entries(node_flags, ebuf, ecount)
     return out, n_out, nf, st[1], st[2]
 
 
@@ -658,18 +618,9 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
         print(f"[timing] leaf phase: {_time.perf_counter() - t0:.2f}s",
               flush=True)
         t0 = _time.perf_counter()
-    ecap = max(1 << 22, n // 6)
-    while True:
-        ebuf = jnp.zeros((ecap + 4 * CHUNK, 2), dtype=jnp.int32)
-        (ebuf, ecount, eovf), st_n, maxp_n = _run_phase(
-            (fm,), fm.root()[None, :],
-            (ebuf, jnp.int32(0), jnp.bool_(False)), _node_body, n, K,
-            k_right,
-        )
-        if not bool(eovf):
-            break
-        ecap *= 2
-    nf = _apply_entries(nf, ebuf, ecount)
+    (nf,), st_n, maxp_n = _run_phase(
+        (fm,), fm.root()[None, :], (nf,), _node_body, n, K, k_right,
+    )
     if timing:
         np.asarray(nf[:1])
         print(f"[timing] node phase: {_time.perf_counter() - t0:.2f}s",
@@ -730,19 +681,9 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
     r1 = fm1.root()
     r2 = fm2.root()
     start = np.concatenate([r1[:6], r2[:6], [0]]).astype(np.int32)[None, :]
-    ecap = max(1 << 22, n // 3)  # node-pair singleton DA entries can be a
-    # sizable fraction of n on diverged inputs
-    while True:
-        ebuf = jnp.zeros((ecap + 9 * CHUNK, 2), dtype=jnp.int32)
-        (ebuf, ecount, eovf), st_n, maxp_n = _run_phase(
-            (fm1, fm2), start,
-            (ebuf, jnp.int32(0), jnp.bool_(False)), _node_pair_body, n, K,
-            k_right,
-        )
-        if not bool(eovf):
-            break
-        ecap *= 2
-    nf = _apply_entries(nf, ebuf, ecount)
+    (nf,), st_n, maxp_n = _run_phase(
+        (fm1, fm2), start, (nf,), _node_pair_body, n, K, k_right,
+    )
     if timing:
         np.asarray(nf[:1])
         print(f"[timing] node-pair phase: {_time.perf_counter() - t0:.2f}s",

@@ -150,15 +150,12 @@ def test_queue_roll_reclaim_matches_large_queue(rng):
     init = jnp.asarray(fm.root()[None, :].astype(np.int32))
 
     def run(cap):
-        ebuf = jnp.zeros((4 * T.CHUNK + (1 << 16), 2), jnp.int32)
-        (ebuf, ecount, eovf), stats, overflow, maxp = T._queue_phase(
-            (fm,), init, (ebuf, jnp.int32(0), jnp.bool_(False)),
-            body=T._node_body, queue_cap=cap, chunk=T.CHUNK, K=5, k_right=8,
+        nf = jnp.zeros(T._flag_words(n), jnp.int32)
+        (nf,), stats, overflow, maxp = T._queue_phase(
+            (fm,), init, (nf,), body=T._node_body, queue_cap=cap,
+            chunk=T.CHUNK, K=5, k_right=8,
         )
         assert not bool(overflow), cap
-        assert not bool(eovf)
-        nf = T._apply_entries(jnp.zeros(T._flag_words(n), jnp.int32),
-                              ebuf, ecount)
         return np.asarray(nf), np.asarray(stats)
 
     big_nf, big_stats = run(1 << 21)
