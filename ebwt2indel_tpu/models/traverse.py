@@ -130,6 +130,59 @@ def _unpack_flags(nf, n: int):
     return (jax.lax.shift_right_logical(nf[:, None], sh) & 15).reshape(-1)[:n]
 
 
+def _flag_scatter_compact(nf, borders, vals):
+    """_flag_scatter fed by sort-compacted slices.
+
+    Only ~4% of node-border slots carry a nonzero flag value at genome
+    scale, while the scatter pays ~9 ns per SLOT whether or not it drops
+    the entry. One 1-operand uint32 sort over packed (position << 4 |
+    value) keys (real entries ascend, zero-value slots become 0xFFFFFFFF
+    and sink) costs ~1 ms/1M; budget-sized slices of the real prefix then
+    feed the scatter through a data-dependent inner loop — one iteration
+    for typical chunks. The packing needs position < 2^28; larger inputs
+    (near the 2^31 single-shard limit) take the direct scatter, selected
+    statically from nf's shape. Multi-operand payload sorts and a
+    phase-long entry log were both measured slower (~12 ns/element and a
+    non-aliased while-carry copy, node phase 21 s — docs/PERF.md)."""
+    m = borders.shape[0]
+    if nf.shape[0] * 8 >= (1 << 28) - 8:
+        return _flag_scatter(nf, jnp.where(vals > 0, borders, -1), vals)
+    key = jnp.where(
+        vals > 0,
+        (borders.astype(jnp.uint32) << 4) | vals.astype(jnp.uint32),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    skey = jax.lax.sort(key)
+    budget = max(256, m // 8)
+    pad = (-m) % budget
+    if pad:
+        skey = jnp.concatenate(
+            [skey, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]
+        )
+    n_real = jnp.sum((vals > 0).astype(jnp.int32))
+    dummy = jnp.int32(nf.shape[0] * 8)
+    ar = jnp.arange(budget, dtype=jnp.int32)
+
+    def wcond(state):
+        return state[0] * budget < n_real
+
+    def wstep(state):
+        it, nf = state
+        sl = jax.lax.dynamic_slice(skey, (it * budget,), (budget,))
+        live = it * budget + ar < n_real
+        pos = jnp.where(
+            live,
+            jax.lax.shift_right_logical(sl, jnp.uint32(4)).astype(jnp.int32),
+            dummy,
+        )
+        return it + 1, _flag_scatter(
+            nf, pos, (sl & jnp.uint32(15)).astype(jnp.int32)
+        )
+
+    _, nf = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), nf))
+    return nf
+
+
 # ---------------------------------------------------------------------------
 # chunk bodies — pure functions (chunk, count, flags, stats) -> updated
 # ---------------------------------------------------------------------------
@@ -281,7 +334,8 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
         vals.append(v)
-    nf = _flag_scatter(nf, jnp.concatenate(idxs), jnp.concatenate(vals))
+    nf = _flag_scatter_compact(nf, jnp.concatenate(idxs),
+                               jnp.concatenate(vals))
 
     if _DEDUP_FRAC > 0:
         ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
@@ -448,7 +502,8 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
         vals.append(v)
-    nf = _flag_scatter(nf, jnp.concatenate(idxs), jnp.concatenate(vals))
+    nf = _flag_scatter_compact(nf, jnp.concatenate(idxs),
+                               jnp.concatenate(vals))
 
     if _DEDUP_FRAC > 0:
         # pair chunks are especially run-heavy: a string present in only
