@@ -60,6 +60,12 @@ _DEDUP_FRAC = float(_os.environ.get("EBWT_DEDUP_FRAC", "0"))
 # restores the dense 6-row gather for A/B runs.
 _NARROW = _os.environ.get("EBWT_NARROW", "1") != "0"
 
+# EBWT_PROGRESS=1: stream per-chunk progress lines from inside the phase
+# while_loop (the TPU analogue of the reference's per-percent prints,
+# ebwt2InDel.cpp:603-612) — an async debug.print tap, off by default so the
+# hot loop stays print-free
+_PROGRESS = _os.environ.get("EBWT_PROGRESS", "0") != "0"
+
 
 def _dedup_budget(n_queries: int) -> int:
     return max(8, int(n_queries * _DEDUP_FRAC))
@@ -609,6 +615,11 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
         head = head + count
         tail = tail + n_out
         maxp = jnp.maximum(maxp, tail - head)
+        if _PROGRESS:
+            jax.debug.print(
+                "[progress] processed {p} items, {w} pending",
+                p=stats[0], w=tail - head, ordered=False,
+            )
         return q, head, tail, overflow, flags, stats, maxp
 
     stats0 = (jnp.int32(0),) * 4
