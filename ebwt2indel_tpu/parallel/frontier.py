@@ -1,0 +1,305 @@
+"""Frontier-sharded traversal: per-shard work queues, psum-free narrow rank.
+
+The position-sharded traversal in parallel/traverse.py replicates the work
+queue on every shard — index rows, rank decode, and flag storage shard, but
+the queue machinery (children compaction, row gather, append, flag-entry
+sort) repeats per device, capping node-phase scaling near 2x (docs/PERF.md
+"Multi-chip scaling model"). This module shards the FRONTIER itself:
+
+* A node lives on the shard that owns the block row of its first
+  coordinate. Narrow nodes (span <= 2 rank blocks — almost all of them)
+  read both anchor rows locally thanks to a one-row right halo, so their
+  Weiner extension needs NO collective at all.
+* Children are routed to their owner with one fixed-shape `all_to_all`
+  per step (dest-sorted buckets; per-bucket counts ride an all_gather).
+* Wide nodes (>= 3 blocks; the first ~log4 n levels) are all_gathered
+  under a small budget; every shard decodes its local contribution to
+  their ranks, one psum combines, and each shard pushes only the wide
+  children it owns — exactly-once without routing.
+* Flag writes land in per-shard packed nibble words; the rare entries
+  that spill past the shard's right edge (nodes straddling the boundary
+  row) ride a ppermute to the right neighbor.
+* The loop condition reads carried global scalars (pending, overflow)
+  psum'd once per body, so every shard runs the same iteration count —
+  all collectives sit at fixed points of the program.
+
+Queue machinery therefore scales ~1/n_dev with the frontier, and the only
+per-step communication is O(children) rows over ICI. Exact flag parity
+with the single-device traversal is pinned by tests/test_parallel.py.
+
+Reference semantics: navigate_one_bwt's node loop (ebwt2InDel.cpp:555-676,
+update_lcp_threshold include.hpp:826-860, update_lcp_minima
+ebwt2InDel.cpp:357-391); cf. models/traverse._node_body.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..models import traverse as t1
+from ..ops.packing import PackedBwt
+from . import shard
+
+AXIS = shard.AXIS
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "rows", "queue_cap", "chunk", "wbudget",
+                          "fbudget", "seg", "K", "k_right"))
+def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
+                         wbudget, fbudget, seg, K, k_right):
+    """One frontier-sharded internal-node phase. F6 = (F_A,F_C,F_G,F_T,n).
+    Returns per-shard packed flag words (P(AXIS), rows*16 words each),
+    psum'd stats(4,), and a global overflow count (host retries bigger)."""
+    n_dev = mesh.devices.size
+    M = 4 * chunk  # children slots per chunk; chunk is a power of two
+    NW = n_dev * wbudget
+    MAXAPP = n_dev * seg + 4 * NW  # rows appended per step, worst case
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS, None), P()),
+             out_specs=(P(AXIS), P(), P()),
+             check_vma=False)
+    def run(blocks_l, F6_rep):
+        sid = jax.lax.axis_index(AXIS)
+        F4 = F6_rep[:4]
+        n_total = F6_rep[4]
+        base_row = sid * rows
+        base_pos = base_row * 128
+        local_pos = rows * 128
+        nw_l = rows * 16  # packed nibble words per shard
+        # one-row right halo: every narrow node's second anchor is local
+        halo = jax.lax.ppermute(
+            blocks_l[0], AXIS,
+            [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        blocks_h = jnp.concatenate([blocks_l, halo[None]], axis=0)
+
+        q = jnp.zeros((queue_cap + MAXAPP, 7), dtype=jnp.int32)
+        nf_l = jnp.zeros(nw_l, dtype=jnp.int32)
+
+        def flag_entries(rows7, vmask):
+            c = rows7[:, :6]
+            depth = rows7[:, 6]
+            last = c[:, 5]
+            lcp = jnp.int32(0)
+            nmin = jnp.int32(0)
+            idxs, vals = [], []
+            for j in range(1, 5):
+                border = c[:, j]
+                has_prev = border > c[:, j - 1]
+                cond = vmask & has_prev & (border != last)
+                lcp = lcp + jnp.sum(cond.astype(jnp.int32))
+                v = ((cond & (depth >= K)) * 1
+                     + (cond & (depth >= k_right)) * 2)
+                if j >= 2:
+                    prev_size = border - c[:, j - 1]
+                    cond_m = vmask & (prev_size >= 2) & (border < last - 1)
+                    nmin = nmin + jnp.sum(cond_m.astype(jnp.int32))
+                    v = v + cond_m * 4
+                idxs.append(border)
+                vals.append(v)
+            return (jnp.concatenate(idxs), jnp.concatenate(vals), lcp, nmin)
+
+        def body(state):
+            (q, head, tail, nf_l, stats, pending, govf) = state
+            need = (tail + MAXAPP) > q.shape[0]
+            q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
+                             lambda a, h: a, q, head)
+            tail = jnp.where(need, tail - head, tail)
+            head = jnp.where(need, 0, head)
+            ovf = ((tail + MAXAPP) > q.shape[0]).astype(jnp.int32)
+
+            count = jnp.minimum(tail - head, chunk)
+            block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)),
+                                          (chunk, 7))
+            valid = jnp.arange(chunk, dtype=jnp.int32) < count
+            b = jax.lax.shift_right_logical(block[:, :6], 7)
+            narrow = valid & ((b[:, 5] - b[:, 0]) <= 1)
+            wide = valid & ~narrow
+
+            # ---- narrow extension: fully local (halo'd anchors) --------
+            o = block[:, :6] & jnp.int32(127)
+            a0 = jnp.clip(b[:, 0] - base_row, 0, rows)
+            a5 = jnp.clip(b[:, 5] - base_row, 0, rows)
+            dec_lo = shard._local_decode_multi(blocks_h[a0], o)
+            dec_hi = shard._local_decode_multi(blocks_h[a5], o)
+            use_hi = b == b[:, 5][:, None]
+            ranks = jnp.where(use_hi[:, :, None], dec_hi, dec_lo)
+            ext = F4[:, None] + jnp.swapaxes(ranks, -1, -2)  # (C,4,6)
+            depth4 = jnp.broadcast_to(block[:, None, 6:7] + 1,
+                                      (chunk, 4, 1))
+            ext = jnp.concatenate([ext, depth4], axis=-1)  # (C,4,7)
+
+            # ---- wide nodes: all_gather + local rank + psum ------------
+            n_wide = jnp.sum(wide.astype(jnp.int32))
+            ovf = ovf + (n_wide > wbudget)
+            iota_c = jnp.arange(chunk, dtype=jnp.int32)
+            wperm = jax.lax.sort(jnp.where(wide, iota_c, chunk + iota_c))
+            wrows = block[jnp.minimum(wperm[:wbudget], chunk - 1)]
+            wvalid_l = jnp.arange(wbudget, dtype=jnp.int32) < n_wide
+            wrows = jnp.where(wvalid_l[:, None], wrows, 0)
+            wall = jax.lax.all_gather(wrows, AXIS)  # (n_dev, wb, 7)
+            wcnt = jax.lax.all_gather(n_wide, AXIS)  # (n_dev,)
+            wflat = wall.reshape(NW, 7)
+            wsrc = jnp.arange(NW, dtype=jnp.int32) // wbudget
+            wvalid = (jnp.arange(NW, dtype=jnp.int32) % wbudget) < \
+                wcnt[wsrc]
+            wranks = jax.lax.psum(
+                shard.local_parallel_rank(blocks_l, rows, wflat[:, :6]),
+                AXIS,
+            )  # (NW, 6, 4)
+            wext = F4[:, None] + jnp.swapaxes(wranks, -1, -2)
+            wdepth = jnp.broadcast_to(wflat[:, None, 6:7] + 1, (NW, 4, 1))
+            wext = jnp.concatenate([wext, wdepth], axis=-1)
+
+            # ---- flag writes -------------------------------------------
+            nidx, nval, lcp_n, min_n = flag_entries(block, narrow)
+            lpos = nidx - base_pos
+            mine = (nval > 0) & (lpos >= 0) & (lpos < local_pos)
+            nf_l = t1._flag_scatter(nf_l, jnp.where(mine, lpos, -1), nval)
+            spill = (nval > 0) & (lpos >= local_pos)
+            n_sp = jnp.sum(spill.astype(jnp.int32))
+            ovf = ovf + (n_sp > fbudget)
+            m4 = nidx.shape[0]
+            iota4 = jnp.arange(m4, dtype=jnp.int32)
+            sperm = jax.lax.sort(jnp.where(spill, iota4, m4 + iota4))
+            sp_sel = jnp.minimum(sperm[:fbudget], m4 - 1)
+            sp_ok = jnp.arange(fbudget, dtype=jnp.int32) < n_sp
+            fwd = jnp.stack(
+                [jnp.where(sp_ok, nidx[sp_sel] - (base_pos + local_pos),
+                           -1),
+                 jnp.where(sp_ok, nval[sp_sel], 0)], axis=-1,
+            )
+            fwd = jax.lax.ppermute(
+                fwd, AXIS, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            )
+            nf_l = t1._flag_scatter(
+                nf_l,
+                jnp.where((fwd[:, 0] >= 0) & (sid > 0), fwd[:, 0], -1),
+                fwd[:, 1],
+            )
+
+            # wide nodes: every shard sees them all; scatter the borders
+            # that land locally; count stats only for own contributions
+            widx, wval, _, _ = flag_entries(wflat, wvalid)
+            wlpos = widx - base_pos
+            wmine = (wval > 0) & (wlpos >= 0) & (wlpos < local_pos)
+            nf_l = t1._flag_scatter(nf_l, jnp.where(wmine, wlpos, -1),
+                                    wval)
+            _, _, lcp_w, min_w = flag_entries(wflat, wvalid & (wsrc == sid))
+
+            # ---- narrow children: dest-sorted buckets + all_to_all -----
+            nch = jnp.sum((ext[..., 1:6] > ext[..., 0:5]).astype(jnp.int32),
+                          axis=-1)
+            flat_n = ext.reshape(M, 7)
+            keep_flat = (narrow[:, None] & (nch >= 2)).reshape(M)
+            dest = jnp.clip(
+                jax.lax.shift_right_logical(flat_n[:, 0], 7) // rows,
+                0, n_dev - 1,
+            )
+            iota_m = jnp.arange(M, dtype=jnp.int32)
+            sp = jax.lax.sort(jnp.where(keep_flat, dest * M + iota_m,
+                                        n_dev * M + iota_m))
+            rows_sorted = flat_n[sp & jnp.int32(M - 1)]  # M power of two
+            sdest = jnp.minimum(sp // M, n_dev - 1)
+            n_keep = jnp.sum(keep_flat.astype(jnp.int32))
+            cnt = jnp.zeros(n_dev, jnp.int32).at[
+                jnp.where(iota_m < n_keep, sdest, n_dev)
+            ].add(1, mode="drop")
+            ovf = ovf + jnp.any(cnt > seg).astype(jnp.int32)
+            off = jnp.cumsum(cnt) - cnt
+            slot_d = jnp.arange(n_dev * seg, dtype=jnp.int32) // seg
+            slot_s = jnp.arange(n_dev * seg, dtype=jnp.int32) % seg
+            src = jnp.where(slot_s < cnt[slot_d], off[slot_d] + slot_s, 0)
+            send = rows_sorted[jnp.minimum(src, M - 1)]
+            recv = jax.lax.all_to_all(
+                send.reshape(n_dev * seg, 7), AXIS, 0, 0, tiled=True
+            )  # (n_dev*seg, 7); segment j comes from shard j
+            cnt_all = jax.lax.all_gather(cnt, AXIS)  # (src, dst)
+            rcnt = cnt_all[:, sid]
+            rq, n_rq = t1._compact(recv, slot_s < rcnt[slot_d])
+
+            # wide children: everyone has wext; push only the owned ones
+            wch = jnp.sum((wext[..., 1:6] > wext[..., 0:5]).astype(
+                jnp.int32), axis=-1)
+            wflat_c = wext.reshape(NW * 4, 7)
+            wdest = jnp.clip(
+                jax.lax.shift_right_logical(wflat_c[:, 0], 7) // rows,
+                0, n_dev - 1,
+            )
+            wq, n_wq = t1._compact(
+                wflat_c,
+                (wvalid[:, None] & (wch >= 2)).reshape(-1) & (wdest == sid),
+            )
+
+            q = jax.lax.dynamic_update_slice(q, rq, (tail, jnp.int32(0)))
+            tail = tail + n_rq
+            q = jax.lax.dynamic_update_slice(q, wq, (tail, jnp.int32(0)))
+            tail = tail + n_wq
+            head = head + count
+
+            stats = (stats[0] + count,
+                     stats[1] + lcp_n + lcp_w,
+                     stats[2] + min_n + min_w,
+                     jnp.maximum(stats[3], tail - head))
+            glob = jax.lax.psum(
+                jnp.stack([tail - head, ovf]), AXIS
+            )
+            return (q, head, tail, nf_l, stats, glob[0], govf + glob[1])
+
+        def cond(state):
+            return (state[5] > 0) & (state[6] == 0)
+
+        # seed: shard 0 holds the root (spans the whole BWT -> wide path)
+        root_row = jnp.concatenate([
+            jnp.zeros(1, jnp.int32), F4, n_total[None],
+            jnp.zeros(1, jnp.int32),
+        ])
+        q = q.at[0].set(jnp.where(sid == 0, root_row, 0))
+        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
+        stats0 = (jnp.int32(0),) * 4
+        state = (q, jnp.int32(0), tail0, nf_l, stats0,
+                 jax.lax.psum(tail0, AXIS), jnp.int32(0))
+        state = jax.lax.while_loop(cond, body, state)
+        _, _, _, nf_l, stats, _, govf = state
+        return nf_l, jax.lax.psum(jnp.stack(stats), AXIS), govf
+
+    return run(blocks, F6)
+
+
+def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
+    """Frontier-sharded internal-node phase; returns (thr_K, thr_R, minima)
+    host arrays + stats(4,), flag-equivalent to the replicated-queue phase
+    and the single-device traversal (parity-tested)."""
+    n_dev = mesh.devices.size
+    blocks, _, F, rows = shard.shard_packed(pb, mesh)
+    F6 = jnp.concatenate([jnp.asarray(F),
+                          jnp.asarray([pb.n], jnp.int32)])
+    chunk = 4096
+    wbudget, fbudget, seg = 512, 2048, 2 * chunk
+    queue_cap = max(1 << 16, pb.n // (16 * n_dev))
+    while True:
+        nf_l, stats, ovf = _frontier_node_phase(
+            mesh, blocks, F6, rows=rows, queue_cap=queue_cap, chunk=chunk,
+            wbudget=wbudget, fbudget=fbudget, seg=seg, K=K, k_right=k_right,
+        )
+        if int(ovf) == 0:
+            break
+        queue_cap *= 2
+        wbudget *= 2
+        fbudget *= 2
+        seg *= 2
+    nf = np.asarray(nf_l).view(np.uint32)
+    pf = np.zeros(len(nf) * 8, np.uint8)
+    for i in range(8):
+        pf[i::8] = (nf >> np.uint32(4 * i)) & np.uint32(15)
+    pf = pf[: pb.n]
+    return ((pf & 1) != 0).astype(np.uint8), \
+        ((pf & 2) != 0).astype(np.uint8), \
+        ((pf & 4) != 0).astype(np.uint8), np.asarray(stats)

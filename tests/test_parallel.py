@@ -1,6 +1,7 @@
 """Sharded-execution tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,33 @@ def test_sharded_sorted_rank_matches_dense(rng):
     want = np.asarray(rank_ops.parallel_rank(jnp.asarray(pb.blocks),
                                              jnp.asarray(coords)))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n,p_term,K,k_right", [
+    (60000, 0.02, 5, 8),
+    (4097, 0.05, 3, 6),    # barely more than one block row per shard
+    (130000, 0.008, 8, 12),  # long reads -> deep, narrow nodes
+])
+def test_frontier_node_phase_matches_replicated(rng, n, p_term, K, k_right):
+    """The frontier-sharded node phase (per-shard queues, all_to_all child
+    routing, halo'd local narrow rank) must produce the exact flags and
+    visit/LCP/minima counts of the replicated-queue sharded phase."""
+    from ebwt2indel_tpu.parallel import frontier
+    from ebwt2indel_tpu.parallel import traverse as ptraverse
+
+    mesh = shard.make_mesh(8)
+    codes = random_codes(rng, n, p_term=p_term)
+    pb = packing.pack_codes(codes)
+    fK, fR, fM, fstats = frontier.navigate_nodes_frontier(pb, mesh, K,
+                                                          k_right)
+    eK, eR, eM, estats = ptraverse.navigate_nodes_sharded(pb, mesh, K,
+                                                          k_right)
+    np.testing.assert_array_equal(fK, eK)
+    np.testing.assert_array_equal(fR, eR)
+    np.testing.assert_array_equal(fM, eM)
+    assert fstats[0] == estats[0]  # nodes visited
+    assert fstats[1] == estats[1]  # lcp values
+    assert fstats[2] == estats[2]  # minima
 
 
 def test_sharded_cluster_scan(rng):
