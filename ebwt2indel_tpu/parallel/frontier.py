@@ -273,6 +273,316 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
     return run(blocks, F6)
 
 
+@partial(jax.jit,
+         static_argnames=("mesh", "rows", "queue_cap", "chunk", "wbudget",
+                          "fbudget", "seg", "K", "k_right"))
+def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
+                         wbudget, fbudget, seg, K, k_right):
+    """Frontier-sharded leaf phase (update_LCP_leaf, ebwt2InDel.cpp:344-355;
+    next_leaves dna_bwt.hpp:358-379). Same machinery as the node phase with
+    3-wide rows [first, second, depth], a 2-anchor lf_range, and dual-lane
+    packed boundary deltas (models/traverse._leaf_body) written to a
+    per-shard (rows*128,) delta vector. Returns (dif_l sharded, stats(4,)
+    psum'd [leaves, lcp, max_depth, maxp], overflow count)."""
+    n_dev = mesh.devices.size
+    M = 4 * chunk
+    NW = n_dev * wbudget
+    MAXAPP = n_dev * seg + 4 * NW
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS, None), P()),
+             out_specs=(P(AXIS), P(), P()),
+             check_vma=False)
+    def run(blocks_l, F6_rep):
+        sid = jax.lax.axis_index(AXIS)
+        F4 = F6_rep[:4]
+        base_row = sid * rows
+        base_pos = base_row * 128
+        local_pos = rows * 128
+        halo = jax.lax.ppermute(
+            blocks_l[0], AXIS,
+            [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        blocks_h = jnp.concatenate([blocks_l, halo[None]], axis=0)
+
+        q = jnp.zeros((queue_cap + MAXAPP, 3), dtype=jnp.int32)
+        dif_l = jnp.zeros(local_pos, dtype=jnp.int32)
+
+        def delta_entries(rows3, vmask):
+            first, second, depth = rows3[:, 0], rows3[:, 1], rows3[:, 2]
+            condK = vmask & (depth >= K)
+            condR = vmask & (depth >= k_right)
+            v = condK * 1 + condR * 65536
+            idx = jnp.concatenate([
+                jnp.where(v != 0, first + 1, -1),
+                jnp.where(v != 0, second, -1),
+            ])
+            val = jnp.concatenate([v, -v])
+            lcp = jnp.sum(jnp.where(vmask, second - first - 1, 0))
+            return idx, val, lcp
+
+        def scatter_local(dif_l, idx, val):
+            lpos = idx - base_pos
+            ok = (idx >= 0) & (lpos >= 0) & (lpos < local_pos)
+            return dif_l.at[jnp.where(ok, lpos, local_pos)].add(
+                val, mode="drop")
+
+        def body(state):
+            (q, head, tail, dif_l, stats, pending, govf) = state
+            need = (tail + MAXAPP) > q.shape[0]
+            q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
+                             lambda a, h: a, q, head)
+            tail = jnp.where(need, tail - head, tail)
+            head = jnp.where(need, 0, head)
+            ovf = ((tail + MAXAPP) > q.shape[0]).astype(jnp.int32)
+
+            count = jnp.minimum(tail - head, chunk)
+            block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)),
+                                          (chunk, 3))
+            valid = jnp.arange(chunk, dtype=jnp.int32) < count
+            bf = jax.lax.shift_right_logical(block[:, 0], 7)
+            bs = jax.lax.shift_right_logical(block[:, 1], 7)
+            narrow = valid & ((bs - bf) <= 1)
+            wide = valid & ~narrow
+
+            # narrow lf_range: both anchor rows local via the halo
+            o2 = jnp.stack([block[:, 0], block[:, 1]], -1) & jnp.int32(127)
+            af = jnp.clip(bf - base_row, 0, rows)
+            asx = jnp.clip(bs - base_row, 0, rows)
+            dec_f = shard._local_decode_multi(blocks_h[af], o2)[:, 0]
+            dec_s = shard._local_decode_multi(blocks_h[asx], o2)[:, 1]
+            lo4 = F4 + dec_f  # (C, 4)
+            hi4 = F4 + dec_s
+
+            # wide leaves: all_gather + psum'd rank
+            n_wide = jnp.sum(wide.astype(jnp.int32))
+            ovf = ovf + (n_wide > wbudget)
+            iota_c = jnp.arange(chunk, dtype=jnp.int32)
+            wperm = jax.lax.sort(jnp.where(wide, iota_c, chunk + iota_c))
+            wrows = block[jnp.minimum(wperm[:wbudget], chunk - 1)]
+            wvalid_l = jnp.arange(wbudget, dtype=jnp.int32) < n_wide
+            wrows = jnp.where(wvalid_l[:, None], wrows, 0)
+            wall = jax.lax.all_gather(wrows, AXIS)
+            wcnt = jax.lax.all_gather(n_wide, AXIS)
+            wflat = wall.reshape(NW, 3)
+            wsrc = jnp.arange(NW, dtype=jnp.int32) // wbudget
+            wvalid = (jnp.arange(NW, dtype=jnp.int32) % wbudget) < \
+                wcnt[wsrc]
+            wranks = jax.lax.psum(
+                shard.local_parallel_rank(
+                    blocks_l, rows, wflat[:, :2]
+                ), AXIS,
+            )  # (NW, 2, 4)
+            wlo = F4 + wranks[:, 0]
+            whi = F4 + wranks[:, 1]
+
+            # boundary deltas: local scatter + right-neighbor spill
+            nidx, nval, lcp_n = delta_entries(block, narrow)
+            dif_l = scatter_local(dif_l, nidx, nval)
+            lpos = nidx - base_pos
+            spill = (nidx >= 0) & (lpos >= local_pos)
+            n_sp = jnp.sum(spill.astype(jnp.int32))
+            ovf = ovf + (n_sp > fbudget)
+            m2 = nidx.shape[0]
+            iota2 = jnp.arange(m2, dtype=jnp.int32)
+            sperm = jax.lax.sort(jnp.where(spill, iota2, m2 + iota2))
+            sp_sel = jnp.minimum(sperm[:fbudget], m2 - 1)
+            sp_ok = jnp.arange(fbudget, dtype=jnp.int32) < n_sp
+            fwd = jnp.stack(
+                [jnp.where(sp_ok, nidx[sp_sel] - (base_pos + local_pos),
+                           -1),
+                 jnp.where(sp_ok, nval[sp_sel], 0)], axis=-1,
+            )
+            fwd = jax.lax.ppermute(
+                fwd, AXIS, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            )
+            dif_l = dif_l.at[jnp.where(
+                (fwd[:, 0] >= 0) & (sid > 0), fwd[:, 0], local_pos
+            )].add(fwd[:, 1], mode="drop")
+
+            widx, wval, _ = delta_entries(wflat, wvalid)
+            dif_l = scatter_local(dif_l, widx, wval)
+            _, _, lcp_w = delta_entries(wflat, wvalid & (wsrc == sid))
+
+            # children (next_leaves): W# extensions with size >= 2, routed
+            child_depth = jnp.broadcast_to((block[:, 2] + 1)[:, None],
+                                           lo4.shape)
+            children = jnp.stack([lo4, hi4, child_depth], -1)  # (C,4,3)
+            keep = narrow[:, None] & ((hi4 - lo4) >= 2)
+            flat_n = jnp.swapaxes(children, 0, 1).reshape(M, 3)
+            keep_flat = jnp.swapaxes(keep, 0, 1).reshape(M)
+            dest = jnp.clip(
+                jax.lax.shift_right_logical(flat_n[:, 0], 7) // rows,
+                0, n_dev - 1,
+            )
+            iota_m = jnp.arange(M, dtype=jnp.int32)
+            sp = jax.lax.sort(jnp.where(keep_flat, dest * M + iota_m,
+                                        n_dev * M + iota_m))
+            rows_sorted = flat_n[sp & jnp.int32(M - 1)]
+            sdest = jnp.minimum(sp // M, n_dev - 1)
+            n_keep = jnp.sum(keep_flat.astype(jnp.int32))
+            cnt = jnp.zeros(n_dev, jnp.int32).at[
+                jnp.where(iota_m < n_keep, sdest, n_dev)
+            ].add(1, mode="drop")
+            ovf = ovf + jnp.any(cnt > seg).astype(jnp.int32)
+            off = jnp.cumsum(cnt) - cnt
+            slot_d = jnp.arange(n_dev * seg, dtype=jnp.int32) // seg
+            slot_s = jnp.arange(n_dev * seg, dtype=jnp.int32) % seg
+            src = jnp.where(slot_s < cnt[slot_d], off[slot_d] + slot_s, 0)
+            send = rows_sorted[jnp.minimum(src, M - 1)]
+            recv = jax.lax.all_to_all(
+                send.reshape(n_dev * seg, 3), AXIS, 0, 0, tiled=True
+            )
+            cnt_all = jax.lax.all_gather(cnt, AXIS)
+            rq, n_rq = t1._compact(recv, slot_s < cnt_all[:, sid][slot_d])
+
+            wchildren = jnp.stack(
+                [wlo, whi,
+                 jnp.broadcast_to((wflat[:, 2] + 1)[:, None], wlo.shape)],
+                -1,
+            ).reshape(NW * 4, 3)
+            wkeep = (wvalid[:, None] &
+                     ((whi - wlo) >= 2)).reshape(-1)
+            wdest = jnp.clip(
+                jax.lax.shift_right_logical(wchildren[:, 0], 7) // rows,
+                0, n_dev - 1,
+            )
+            wq, n_wq = t1._compact(wchildren, wkeep & (wdest == sid))
+
+            q = jax.lax.dynamic_update_slice(q, rq, (tail, jnp.int32(0)))
+            tail = tail + n_rq
+            q = jax.lax.dynamic_update_slice(q, wq, (tail, jnp.int32(0)))
+            tail = tail + n_wq
+            head = head + count
+
+            maxd = jnp.max(jnp.where(valid, block[:, 2], 0))
+            stats = (stats[0] + count,
+                     stats[1] + lcp_n + lcp_w,
+                     jnp.maximum(stats[2], maxd),
+                     jnp.maximum(stats[3], tail - head))
+            glob = jax.lax.psum(jnp.stack([tail - head, ovf]), AXIS)
+            return (q, head, tail, dif_l, stats, glob[0], govf + glob[1])
+
+        def cond(state):
+            return (state[5] > 0) & (state[6] == 0)
+
+        # first leaf: (0, F_A, 0) on shard 0 (dna_bwt.hpp:313-317)
+        first_leaf = jnp.stack(
+            [jnp.int32(0), F4[0], jnp.int32(0)]
+        )
+        q = q.at[0].set(jnp.where(sid == 0, first_leaf, 0))
+        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
+        stats0 = (jnp.int32(0),) * 4
+        state = (q, jnp.int32(0), tail0, dif_l, stats0,
+                 jax.lax.psum(tail0, AXIS), jnp.int32(0))
+        state = jax.lax.while_loop(cond, body, state)
+        _, _, _, dif_l, stats, _, govf = state
+        smax = jax.lax.pmax(jnp.stack([stats[2], stats[3]]), AXIS)
+        ssum = jax.lax.psum(jnp.stack([stats[0], stats[1]]), AXIS)
+        return dif_l, jnp.concatenate([ssum, smax]), govf
+
+    return run(blocks, F6)
+
+
+@partial(jax.jit, static_argnames=("mesh", "rows"))
+def _combine_frontier(mesh, nf, dif, *, rows):
+    """Merge node-phase packed nibbles with leaf-phase dual-lane deltas:
+    local packed cumsum + exclusive cross-shard prefix of packed totals
+    (exact while per-position nesting counts stay under 2^15 — the same
+    lane bound as the scatter), then carry-aware lane decode."""
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS), P(AXIS)),
+             out_specs=(P(AXIS),) * 3)
+    def run(nf_l, dif_l):
+        sid = jax.lax.axis_index(AXIS)
+        n_dev = jax.lax.axis_size(AXIS)
+        cs = jnp.cumsum(dif_l)  # packed dual-lane prefix (bounded lanes)
+        totals = jax.lax.all_gather(cs[-1], AXIS)
+        before = jnp.arange(n_dev, dtype=jnp.int32) < sid
+        prefix = jnp.sum(jnp.where(before, totals, 0))
+        netK, netR = t1._split_lanes(cs + prefix)
+        pf = t1._unpack_flags(nf_l, nf_l.shape[0] * 8)
+        thr_K = ((pf & 1) != 0) | (netK > 0)
+        thr_R = ((pf & 2) != 0) | (netR > 0)
+        minima = (pf & 4) != 0
+        return thr_K, thr_R, minima
+
+    return run(nf, dif)
+
+
+def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
+                                     k_right: int):
+    """Frontier-sharded mode-1 navigation; interface-compatible with
+    parallel.traverse.navigate_one_bwt_sharded_device (flags stay on
+    device, local_n-partitioned). Falls back to the replicated-queue
+    phases on pathologically deep inputs (leaf depth >= 2^15 — the
+    dual-lane bound)."""
+    from . import traverse as ptraverse
+
+    mesh = sfm.mesh
+    n_dev = mesh.devices.size
+    rows = sfm.rows
+    chunk = 4096
+    wbudget, fbudget, seg = 512, 2048, 2 * chunk
+    queue_cap = max(1 << 16, sfm.n // (16 * n_dev))
+    F6 = jnp.concatenate(
+        [sfm.F, jnp.asarray([sfm.n], jnp.int32)]
+    )
+
+    wb, fb, sg, qc = wbudget, fbudget, seg, queue_cap
+    while True:
+        dif, st_l, ovf = _frontier_leaf_phase(
+            mesh, sfm.blocks, F6, rows=rows, queue_cap=qc, chunk=chunk,
+            wbudget=wb, fbudget=fb, seg=sg, K=K, k_right=k_right,
+        )
+        if int(ovf) == 0:
+            break
+        qc *= 2
+        wb *= 2
+        fb *= 2
+        sg *= 2
+    if int(st_l[2]) >= t1._LANE_SAFE_DEPTH:
+        return ptraverse.navigate_one_bwt_sharded_device(sfm, K, k_right)
+
+    wb, fb, sg, qc = wbudget, fbudget, seg, queue_cap
+    while True:
+        nf, st_n, ovf = _frontier_node_phase(
+            mesh, sfm.blocks, F6, rows=rows, queue_cap=qc, chunk=chunk,
+            wbudget=wb, fbudget=fb, seg=sg, K=K, k_right=k_right,
+        )
+        if int(ovf) == 0:
+            break
+        qc *= 2
+        wb *= 2
+        fb *= 2
+        sg *= 2
+
+    thr_K, thr_R, minima = _combine_frontier(mesh, nf, dif, rows=rows)
+
+    # reshard from the block-aligned partition to the pipeline's local_n
+    # position partition (XLA inserts the ICI shuffle)
+    from jax.sharding import NamedSharding
+
+    local_n = -(-(sfm.n + 2) // n_dev)
+    pad_n = local_n * n_dev
+    spec = NamedSharding(mesh, P(AXIS))
+
+    @partial(jax.jit, out_shardings=(spec,) * 3)
+    def reshard(a, b, c):
+        def fix(x):
+            return jnp.pad(x[: sfm.n], (0, pad_n - sfm.n))
+
+        return fix(a), fix(b), fix(c)
+
+    thr_K, thr_R, minima = reshard(thr_K, thr_R, minima)
+    st_l_out = np.asarray(
+        [int(st_l[0]), int(st_l[1]), 0], dtype=np.int64
+    )
+    st_n_out = np.asarray(st_n, dtype=np.int64)[:3]
+    return thr_K, thr_R, minima, (local_n, (st_l_out, st_n_out))
+
+
 def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
     """Frontier-sharded internal-node phase; returns (thr_K, thr_R, minima)
     host arrays + stats(4,), flag-equivalent to the replicated-queue phase

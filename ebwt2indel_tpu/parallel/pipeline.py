@@ -31,6 +31,19 @@ def _log(msg: str, file=None):
     print(msg, file=file or sys.stdout, flush=True)
 
 
+def _nav_one(sfm, K, k_right):
+    """Single-BWT sharded navigation: frontier-sharded queues by default
+    (parallel/frontier.py — queue machinery scales ~1/n_dev);
+    EBWT_FRONTIER=0 selects the replicated-queue phases for A/B."""
+    import os
+
+    if os.environ.get("EBWT_FRONTIER", "1") != "0":
+        from . import frontier
+
+        return frontier.navigate_one_bwt_frontier_device(sfm, K, k_right)
+    return ptraverse.navigate_one_bwt_sharded_device(sfm, K, k_right)
+
+
 def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
     cfg = cfg.resolved()
     t0 = time.perf_counter()
@@ -44,7 +57,7 @@ def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
     log(f"\nPhase 2-3/4: suffix-tree wavefront navigation "
         f"({mesh.devices.size}-device mesh).")
     thr_K, thr_R, minima, (local_n, (st_l, st_n)) = \
-        ptraverse.navigate_one_bwt_sharded_device(sfm, cfg.K, cfg.k_right)
+        _nav_one(sfm, cfg.K, cfg.k_right)
     jax.block_until_ready(thr_K)
     t2 = time.perf_counter()
     st_l = np.asarray(st_l)
@@ -298,7 +311,7 @@ def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
     log(f"\nPhase 2-3/4: suffix-tree wavefront navigation "
         f"({mesh.devices.size}-device mesh).")
     thr_K, thr_R, minima, (local_n, (st_l, st_n)) = \
-        ptraverse.navigate_one_bwt_sharded_device(sfm, cfg.K, cfg.k_right)
+        _nav_one(sfm, cfg.K, cfg.k_right)
     st_l = np.asarray(st_l)
     st_n = np.asarray(st_n)
     log(f"Computed {1 + int(st_l[1]) + int(st_n[1])}/{pb.n} LCP values.")

@@ -101,6 +101,29 @@ def test_frontier_node_phase_matches_replicated(rng, n, p_term, K, k_right):
     assert fstats[2] == estats[2]  # minima
 
 
+def test_frontier_full_navigation_matches_replicated(rng):
+    """navigate_one_bwt_frontier_device (leaf + node frontier phases +
+    packed-lane combine + reshard) must equal the replicated-queue
+    navigate_one_bwt_sharded_device bit for bit."""
+    from ebwt2indel_tpu.parallel import frontier
+    from ebwt2indel_tpu.parallel import traverse as ptraverse
+
+    mesh = shard.make_mesh(8)
+    codes = random_codes(rng, 50000, p_term=0.03)
+    pb = packing.pack_codes(codes)
+    sfm = shard.shard_fm(pb, mesh)
+    K, k_right = 5, 8
+    fK, fR, fM, (ln_f, _) = frontier.navigate_one_bwt_frontier_device(
+        sfm, K, k_right)
+    eK, eR, eM, (ln_e, _) = ptraverse.navigate_one_bwt_sharded_device(
+        sfm, K, k_right)
+    assert ln_f == ln_e
+    n = pb.n
+    np.testing.assert_array_equal(np.asarray(fK)[:n], np.asarray(eK)[:n])
+    np.testing.assert_array_equal(np.asarray(fR)[:n], np.asarray(eR)[:n])
+    np.testing.assert_array_equal(np.asarray(fM)[:n], np.asarray(eM)[:n])
+
+
 def test_sharded_cluster_scan(rng):
     mesh = shard.make_mesh(8)
     n = 8 * 1000
