@@ -512,19 +512,23 @@ def _combine_frontier(mesh, nf, dif, *, rows):
 
 
 def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
-                                     k_right: int):
+                                     k_right: int, *, chunk: int = 4096,
+                                     wbudget: int = 512,
+                                     fbudget: int = 2048,
+                                     seg: int | None = None):
     """Frontier-sharded mode-1 navigation; interface-compatible with
     parallel.traverse.navigate_one_bwt_sharded_device (flags stay on
     device, local_n-partitioned). Falls back to the replicated-queue
     phases on pathologically deep inputs (leaf depth >= 2^15 — the
-    dual-lane bound)."""
+    dual-lane bound). Budget kwargs exist for tests that force the
+    overflow-retry doublings."""
     from . import traverse as ptraverse
 
     mesh = sfm.mesh
     n_dev = mesh.devices.size
     rows = sfm.rows
-    chunk = 4096
-    wbudget, fbudget, seg = 512, 2048, 2 * chunk
+    if seg is None:
+        seg = 2 * chunk
     queue_cap = max(1 << 16, sfm.n // (16 * n_dev))
     F6 = jnp.concatenate(
         [sfm.F, jnp.asarray([sfm.n], jnp.int32)]

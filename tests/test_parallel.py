@@ -101,6 +101,28 @@ def test_frontier_node_phase_matches_replicated(rng, n, p_term, K, k_right):
     assert fstats[2] == estats[2]  # minima
 
 
+def test_frontier_overflow_retry_paths(rng):
+    """Starved budgets (wide buffer, spill buffer, all_to_all segments)
+    must trigger the overflow-retry doublings and still converge to the
+    exact replicated-phase flags."""
+    from ebwt2indel_tpu.parallel import frontier
+    from ebwt2indel_tpu.parallel import traverse as ptraverse
+
+    mesh = shard.make_mesh(8)
+    codes = random_codes(rng, 30000, p_term=0.04)
+    pb = packing.pack_codes(codes)
+    sfm = shard.shard_fm(pb, mesh)
+    K, k_right = 4, 7
+    fK, fR, fM, _ = frontier.navigate_one_bwt_frontier_device(
+        sfm, K, k_right, chunk=256, wbudget=2, fbudget=4, seg=8)
+    eK, eR, eM, _ = ptraverse.navigate_one_bwt_sharded_device(
+        sfm, K, k_right)
+    n = pb.n
+    np.testing.assert_array_equal(np.asarray(fK)[:n], np.asarray(eK)[:n])
+    np.testing.assert_array_equal(np.asarray(fR)[:n], np.asarray(eR)[:n])
+    np.testing.assert_array_equal(np.asarray(fM)[:n], np.asarray(eM)[:n])
+
+
 def test_frontier_full_navigation_matches_replicated(rng):
     """navigate_one_bwt_frontier_device (leaf + node frontier phases +
     packed-lane combine + reshard) must equal the replicated-queue
