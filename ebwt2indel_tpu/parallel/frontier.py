@@ -587,6 +587,289 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
     return thr_K, thr_R, minima, (local_n, (st_l_out, st_n_out))
 
 
+@partial(jax.jit,
+         static_argnames=("mesh", "rows1", "rows2", "local_n", "queue_cap",
+                          "chunk", "seg", "fseg", "K", "k_right"))
+def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
+                              rows2, local_n, queue_cap, chunk, seg,
+                              fseg, K, k_right):
+    """Frontier-sharded lockstep node-pair phase (modes 2/3 merge;
+    reference find_leaves ebwt2InDel.cpp:474-527 + merged-node updates
+    792-802; cf. models/traverse._node_pair_body).
+
+    A pair node lives on the shard owning the block row of its side-1
+    first coordinate (rows1 space); its side-1 narrow rank is halo-local.
+    Side-2 ranks and side-1 wide rows are answered over an all_gather of
+    the step's chunks by owned-anchor compaction + one psum — per-shard
+    decode stays O(total/n_dev). Flag writes target the MERGED position
+    space (partitioned by local_n, no block alignment, hence no halo
+    shortcut): entries route to their owner with the same fixed-shape
+    all_to_all as the children. nf: per-shard packed nibble words over
+    local_n merged positions.
+
+    meta = concat(F1(4), F2(4), root_row(13)). Returns (nf_l sharded,
+    psum'd stats(4,) [pairs, lcp, minima, da], overflow count)."""
+    n_dev = mesh.devices.size
+    M = 4 * chunk
+    G = n_dev * chunk
+    MAXAPP = n_dev * seg
+    nw_l = (local_n + 7) // 8
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS, None), P(AXIS, None), P()),
+             out_specs=(P(AXIS), P(), P()),
+             check_vma=False)
+    def run(b1_l, b2_l, meta_rep):
+        sid = jax.lax.axis_index(AXIS)
+        F1 = meta_rep[:4]
+        F2 = meta_rep[4:8]
+        root_row = meta_rep[8:21]
+        base_row = sid * rows1
+        base_pos = sid * local_n
+        halo = jax.lax.ppermute(
+            b1_l[0], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        b1_h = jnp.concatenate([b1_l, halo[None]], axis=0)
+
+        q = jnp.zeros((queue_cap + MAXAPP, 13), dtype=jnp.int32)
+        nf_l = jnp.zeros(nw_l, dtype=jnp.int32)
+
+        def route(flat, keep, dest, segN):
+            """Fixed-shape all_to_all routing of kept rows to dest shards
+            (dest-sorted buckets; counts ride an all_gather). Returns the
+            received compacted rows, their count, and an overflow flag."""
+            m = flat.shape[0]
+            iota = jnp.arange(m, dtype=jnp.int32)
+            sp = jax.lax.sort(jnp.where(keep, dest * m + iota,
+                                        n_dev * m + iota))
+            rows_sorted = flat[jnp.minimum(sp % m, m - 1)]
+            sdest = jnp.minimum(sp // m, n_dev - 1)
+            n_keep = jnp.sum(keep.astype(jnp.int32))
+            cnt = jnp.zeros(n_dev, jnp.int32).at[
+                jnp.where(iota < n_keep, sdest, n_dev)
+            ].add(1, mode="drop")
+            ovf = jnp.any(cnt > segN).astype(jnp.int32)
+            off = jnp.cumsum(cnt) - cnt
+            slot_d = jnp.arange(n_dev * segN, dtype=jnp.int32) // segN
+            slot_s = jnp.arange(n_dev * segN, dtype=jnp.int32) % segN
+            src = jnp.where(slot_s < cnt[slot_d], off[slot_d] + slot_s, 0)
+            send = rows_sorted[jnp.minimum(src, m - 1)]
+            recv = jax.lax.all_to_all(send, AXIS, 0, 0, tiled=True)
+            cnt_all = jax.lax.all_gather(cnt, AXIS)
+            rq, n_rq = t1._compact(recv, slot_s < cnt_all[:, sid][slot_d])
+            return rq, n_rq, ovf
+
+        def pair_flag_entries(rows13, vmask):
+            c1 = rows13[:, 0:6]
+            c2 = rows13[:, 6:12]
+            depth = rows13[:, 12]
+            merged = c1 + c2
+            last = merged[:, 5]
+            idxs, vals = [], []
+            da_values = jnp.int32(0)
+            for j in range(5):
+                l1 = c1[:, j + 1] - c1[:, j]
+                l2 = c2[:, j + 1] - c2[:, j]
+                cond = vmask & ((l1 + l2) == 1)
+                da_values = da_values + jnp.sum(cond.astype(jnp.int32))
+                cond_da = cond & (l2 == 1)
+                idxs.append(c1[:, j] + c2[:, j])
+                vals.append(cond_da * 8)
+            lcp = jnp.int32(0)
+            nmin = jnp.int32(0)
+            for j in range(1, 5):
+                border = merged[:, j]
+                has_prev = border > merged[:, j - 1]
+                cond = vmask & has_prev & (border != last)
+                lcp = lcp + jnp.sum(cond.astype(jnp.int32))
+                v = ((cond & (depth >= K)) * 1
+                     + (cond & (depth >= k_right)) * 2)
+                if j >= 2:
+                    prev_size = border - merged[:, j - 1]
+                    cond_m = vmask & (prev_size >= 2) & (border < last - 1)
+                    nmin = nmin + jnp.sum(cond_m.astype(jnp.int32))
+                    v = v + cond_m * 4
+                idxs.append(border)
+                vals.append(v)
+            return (jnp.concatenate(idxs), jnp.concatenate(vals),
+                    lcp, nmin, da_values)
+
+        def body(state):
+            (q, head, tail, nf_l, stats, pending, govf) = state
+            need = (tail + MAXAPP) > q.shape[0]
+            q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
+                             lambda a, h: a, q, head)
+            tail = jnp.where(need, tail - head, tail)
+            head = jnp.where(need, 0, head)
+            ovf = ((tail + MAXAPP) > q.shape[0]).astype(jnp.int32)
+
+            count = jnp.minimum(tail - head, chunk)
+            block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)),
+                                          (chunk, 13))
+            valid = jnp.arange(chunk, dtype=jnp.int32) < count
+            b1c = jax.lax.shift_right_logical(block[:, 0:6], 7)
+            narrow1 = valid & ((b1c[:, 5] - b1c[:, 0]) <= 1)
+
+            # side-1 narrow rank: halo-local, no collective
+            o1 = block[:, 0:6] & jnp.int32(127)
+            a0 = jnp.clip(b1c[:, 0] - base_row, 0, rows1)
+            a5 = jnp.clip(b1c[:, 5] - base_row, 0, rows1)
+            dec_lo = shard._local_decode_multi(b1_h[a0], o1)
+            dec_hi = shard._local_decode_multi(b1_h[a5], o1)
+            use_hi = b1c == b1c[:, 5][:, None]
+            r1 = jnp.where(use_hi[:, :, None], dec_hi, dec_lo)
+
+            # gathered set: side-2 ranks for everything, side-1 for the
+            # wide rows; owned-anchor compaction keeps per-shard decode
+            # O(total/n_dev), one psum combines
+            gall = jax.lax.all_gather(block, AXIS)  # (n_dev, C, 13)
+            gflat = gall.reshape(G, 13)
+            r2_all, r1w_all = jax.lax.psum(
+                (shard.local_parallel_rank_sorted(
+                    b2_l, rows2, gflat[:, 6:12],
+                    budget=max(128, G // 8)),
+                 shard.local_parallel_rank_sorted(
+                     b1_l, rows1, gflat[:, 0:6],
+                     budget=max(128, G // 8))),
+                AXIS,
+            )  # each (G, 6, 4)
+            r2 = jax.lax.dynamic_slice(
+                r2_all.reshape(n_dev, chunk, 6, 4),
+                (sid, 0, 0, 0), (1, chunk, 6, 4),
+            )[0]
+            r1w = jax.lax.dynamic_slice(
+                r1w_all.reshape(n_dev, chunk, 6, 4),
+                (sid, 0, 0, 0), (1, chunk, 6, 4),
+            )[0]
+            wide1 = valid & ~narrow1
+            r1 = jnp.where(wide1[:, None, None], r1w, r1)
+
+            ext1 = F1[:, None] + jnp.swapaxes(r1, -1, -2)  # (C,4,6)
+            ext2 = F2[:, None] + jnp.swapaxes(r2, -1, -2)
+            depth4 = jnp.broadcast_to(block[:, None, 12:13] + 1,
+                                      (chunk, 4, 1))
+            children = jnp.concatenate([ext1, ext2, depth4], axis=-1)
+
+            # flag entries in merged space -> all_to_all to owners
+            fidx, fval, lcp_v, min_v, da_v = pair_flag_entries(block,
+                                                               valid)
+            fr, n_fr, ovf_f = route(
+                jnp.stack([fidx, fval], axis=-1), fval > 0,
+                jnp.clip(fidx // local_n, 0, n_dev - 1), fseg,
+            )
+            ovf = ovf + ovf_f
+            flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
+            nf_l = t1._flag_scatter(
+                nf_l, jnp.where(flive, fr[:, 0] - base_pos, -1), fr[:, 1],
+            )
+
+            # children kept iff >= 2 union children; routed by side-1
+            u1 = ext1[..., 1:6] > ext1[..., 0:5]
+            u2 = ext2[..., 1:6] > ext2[..., 0:5]
+            n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
+            flat_c = children.reshape(M, 13)
+            rq, n_rq, ovf_c = route(
+                flat_c, (valid[:, None] & (n_union >= 2)).reshape(M),
+                jnp.clip(
+                    jax.lax.shift_right_logical(flat_c[:, 0], 7) // rows1,
+                    0, n_dev - 1,
+                ), seg,
+            )
+            ovf = ovf + ovf_c
+
+            q = jax.lax.dynamic_update_slice(q, rq, (tail, jnp.int32(0)))
+            tail = tail + n_rq
+            head = head + count
+
+            stats = (stats[0] + count, stats[1] + lcp_v, stats[2] + min_v,
+                     stats[3] + da_v)
+            glob = jax.lax.psum(jnp.stack([tail - head, ovf]), AXIS)
+            return (q, head, tail, nf_l, stats, glob[0], govf + glob[1])
+
+        def cond(state):
+            return (state[5] > 0) & (state[6] == 0)
+
+        q = q.at[0].set(jnp.where(sid == 0, root_row, 0))
+        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
+        stats0 = (jnp.int32(0),) * 4
+        state = (q, jnp.int32(0), tail0, nf_l, stats0,
+                 jax.lax.psum(tail0, AXIS), jnp.int32(0))
+        state = jax.lax.while_loop(cond, body, state)
+        _, _, _, nf_l, stats, _, govf = state
+        return nf_l, jax.lax.psum(jnp.stack(stats), AXIS), govf
+
+    return run(blocks1, blocks2, meta)
+
+
+def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
+                                      sfm2: shard.ShardedFM,
+                                      K: int, k_right: int, *,
+                                      chunk: int = 4096,
+                                      seg: int | None = None,
+                                      fseg: int | None = None):
+    """Frontier-sharded lockstep navigation for modes 2/3:
+    replicated-queue leaf-pair phase (its boundary-delta fills are dense,
+    so frontier routing buys little there) + frontier node-pair phase,
+    combined with the existing pair flag combine. Interface-compatible
+    with parallel.traverse.navigate_two_bwts_sharded_device."""
+    from jax.sharding import NamedSharding
+
+    from . import traverse as ptraverse
+
+    mesh = sfm1.mesh
+    n_dev = mesh.devices.size
+    n = sfm1.n + sfm2.n
+    local_n = -(-(n + 2) // n_dev)
+    pad_n = local_n * n_dev
+    if seg is None:
+        seg = 2 * chunk
+    if fseg is None:
+        fseg = 4 * chunk
+
+    F1h = np.asarray(sfm1.F)
+    F2h = np.asarray(sfm2.F)
+    dif = jax.device_put(np.zeros((3, pad_n), np.int32),
+                         NamedSharding(mesh, P(None, AXIS)))
+    init_l = np.array([[0, F1h[0], 0, F2h[0], 0]], np.int32)
+    dif, st_l, _ = ptraverse._sharded_leaf_pair_phase(
+        mesh, sfm1.blocks, sfm2.blocks, sfm1.F, sfm2.F,
+        jnp.asarray(init_l), dif,
+        rows1=sfm1.rows, rows2=sfm2.rows, local_n=local_n,
+        queue_cap=max(1 << 18, n // 32), chunk=4096, K=K, k_right=k_right,
+    )
+
+    root = np.concatenate([
+        [0], F1h, [sfm1.n], [0], F2h, [sfm2.n], [0]
+    ]).astype(np.int32)
+    meta = jnp.asarray(np.concatenate([F1h, F2h, root]).astype(np.int32))
+    qc = max(1 << 16, n // (16 * n_dev))
+    sg, fg = seg, fseg
+    while True:
+        nf_l, st_n, ovf = _frontier_node_pair_phase(
+            mesh, sfm1.blocks, sfm2.blocks, meta, rows1=sfm1.rows,
+            rows2=sfm2.rows, local_n=local_n, queue_cap=qc, chunk=chunk,
+            seg=sg, fseg=fg, K=K, k_right=k_right,
+        )
+        if int(ovf) == 0:
+            break
+        qc *= 2
+        sg *= 2
+        fg *= 2
+
+    # unpack the per-shard nibble words to the per-position int32 bit
+    # layout the existing pair combine consumes
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS),),
+             out_specs=P(AXIS))
+    def unpack(nf_loc):
+        return t1._unpack_flags(nf_loc, nf_loc.shape[0] * 8)[:local_n]
+
+    nf_pos = unpack(nf_l)
+    thr_K, thr_R, minima, da = ptraverse._combine_flags_pair(
+        mesh, nf_pos, dif
+    )
+    return thr_K, thr_R, minima, da, (local_n, (st_l, st_n))
+
+
 def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
     """Frontier-sharded internal-node phase; returns (thr_K, thr_R, minima)
     host arrays + stats(4,), flag-equivalent to the replicated-queue phase

@@ -178,9 +178,16 @@ def run_two_datasets_sharded(cfg: Config, mesh, log=_log) -> dict:
 
     log(f"\nPhase 2-3/4: merged suffix-tree wavefront navigation "
         f"({mesh.devices.size}-device mesh).")
+    import os
+
+    if os.environ.get("EBWT_FRONTIER", "1") != "0":
+        from . import frontier
+
+        nav_pair = frontier.navigate_two_bwts_frontier_device
+    else:
+        nav_pair = ptraverse.navigate_two_bwts_sharded_device
     thr_K, thr_R, minima, da, (local_n, (st_l, st_n)) = \
-        ptraverse.navigate_two_bwts_sharded_device(
-            sfm1, sfm2, cfg.K, cfg.k_right)
+        nav_pair(sfm1, sfm2, cfg.K, cfg.k_right)
     st_l = np.asarray(st_l)
     st_n = np.asarray(st_n)
     n = sfm1.n + sfm2.n

@@ -146,6 +146,31 @@ def test_frontier_full_navigation_matches_replicated(rng):
     np.testing.assert_array_equal(np.asarray(fM)[:n], np.asarray(eM)[:n])
 
 
+def test_frontier_pair_navigation_matches_replicated(rng):
+    """Frontier-sharded lockstep navigation (modes 2/3) must equal the
+    replicated-queue pair navigation bit for bit, including the DA."""
+    from ebwt2indel_tpu.parallel import frontier
+    from ebwt2indel_tpu.parallel import traverse as ptraverse
+
+    mesh = shard.make_mesh(8)
+    codes1 = random_codes(rng, 30000, p_term=0.03)
+    codes2 = random_codes(rng, 26000, p_term=0.03)
+    pb1 = packing.pack_codes(codes1)
+    pb2 = packing.pack_codes(codes2)
+    sfm1 = shard.shard_fm(pb1, mesh)
+    sfm2 = shard.shard_fm(pb2, mesh)
+    K, k_right = 4, 7
+    fK, fR, fM, fD, _ = frontier.navigate_two_bwts_frontier_device(
+        sfm1, sfm2, K, k_right)
+    eK, eR, eM, eD, _ = ptraverse.navigate_two_bwts_sharded_device(
+        sfm1, sfm2, K, k_right)
+    n = pb1.n + pb2.n
+    np.testing.assert_array_equal(np.asarray(fK)[:n], np.asarray(eK)[:n])
+    np.testing.assert_array_equal(np.asarray(fR)[:n], np.asarray(eR)[:n])
+    np.testing.assert_array_equal(np.asarray(fM)[:n], np.asarray(eM)[:n])
+    np.testing.assert_array_equal(np.asarray(fD)[:n], np.asarray(eD)[:n])
+
+
 def test_sharded_cluster_scan(rng):
     mesh = shard.make_mesh(8)
     n = 8 * 1000
