@@ -77,6 +77,7 @@ def test_sharded_sorted_rank_matches_dense(rng):
 @pytest.mark.parametrize("n,p_term,K,k_right", [
     (60000, 0.02, 5, 8),
     (4097, 0.05, 3, 6),    # barely more than one block row per shard
+    (900, 0.06, 2, 4),     # ONE block row per shard: spill-heavy borders
     (130000, 0.008, 8, 12),  # long reads -> deep, narrow nodes
 ])
 def test_frontier_node_phase_matches_replicated(rng, n, p_term, K, k_right):
