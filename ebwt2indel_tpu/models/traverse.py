@@ -651,8 +651,7 @@ def _run_phase(fms, init_np, flags, body, n_hint, K, k_right):
         queue_cap *= 2
 
 
-def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
-                     progress=None) -> TraversalResult:
+def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     """Full single-BWT navigation (reference: navigate_one_bwt,
     ebwt2InDel.cpp:555-676): leaf phase then node phase, each a single
     compiled device program."""
@@ -709,8 +708,8 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int,
                            da=None, stats=stats)
 
 
-def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int, k_right: int,
-                      progress=None) -> TraversalResult:
+def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
+                      k_right: int) -> TraversalResult:
     """Lockstep navigation of two suffix trees simulating the merged
     collection (reference: navigate_two_bwts, ebwt2InDel.cpp:679-831)."""
     n = fm1.n + fm2.n
