@@ -47,7 +47,25 @@ class FMIndex:
     def from_packed(pb: packing.PackedBwt) -> "FMIndex":
         import os
 
-        if os.environ.get("EBWT_LEAN_UPLOAD", "1") != "0":
+        lean = os.environ.get("EBWT_LEAN_UPLOAD", "2")
+        # level 2 (default): upload 2 bitplanes (32 B / 128 chars) plus
+        # the TERM positions as sparse int32 — TERM is the only code with
+        # plane 2 set and terminators are ~1% of a read eBWT, so the
+        # dense plane rebuilds on device from a bit scatter. Falls back
+        # to the 3-plane upload when terminators are dense (> 1/32 of
+        # positions — e.g. mode 3's TERM-masked second index).
+        if lean == "2" and int(pb.counts[4]) * 4 < pb.blocks.shape[0] * 16:
+            planes01 = jnp.asarray(np.ascontiguousarray(pb.blocks[:, :8]))
+            tpos = jnp.asarray(packing.term_positions(pb))
+            blocks, cum = _build_blocks_sparse_term(planes01, tpos, n=pb.n)
+            return FMIndex(
+                blocks=blocks,
+                block_counts=cum,
+                F=jnp.asarray(pb.F.astype(np.int32)),
+                n=pb.n,
+                term=pb.term,
+            )
+        if lean != "0":
             # upload only the 3 bitplanes (48 B / 128 chars) and rebuild
             # the cumulative-count words + select table on device — 40%
             # less host->device traffic (the pipeline's largest transfer;
@@ -117,6 +135,22 @@ def _build_blocks_from_planes(planes, *, n: int):
     return blocks, cum
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _build_blocks_sparse_term(planes01, term_pos, *, n: int):
+    """_build_blocks_from_planes fed by 2 uploaded bitplanes + sparse TERM
+    positions: plane 2 (the terminator bitmap — TERM is the only code with
+    that plane set) rebuilds with one bit scatter. Every position sets a
+    distinct bit, so the add never carries even when two terminators share
+    a word."""
+    nb = planes01.shape[0]
+    one = jnp.uint32(1)
+    p2 = jnp.zeros(nb * 4, dtype=jnp.uint32).at[
+        jax.lax.shift_right_logical(term_pos, 5)
+    ].add(one << (term_pos & 31).astype(jnp.uint32), mode="drop")
+    planes = jnp.concatenate([planes01, p2.reshape(nb, 4)], axis=1)
+    return _build_blocks_from_planes(planes, n=n)
+
+
 # ---------------------------------------------------------------------------
 # batched FM operations
 # ---------------------------------------------------------------------------
@@ -164,6 +198,17 @@ def lf_range(fm: FMIndex, first, second):
     lo = fm.F + parallel_rank(fm, first)
     hi = fm.F + parallel_rank(fm, second)
     return lo, hi
+
+
+def lf_range_narrow(fm: FMIndex, first, second, budget: int, valid=None):
+    """lf_range via the 1-anchor pair rank (rank.parallel_rank_pair1):
+    one block-row gather per leaf instead of two — leaf intervals are
+    ~read-coverage wide so both endpoints nearly always share a rank
+    block; block-straddling pairs take the exact budget-sliced side
+    loop. first, second: int32 (C,); returns (lo (C,4), hi (C,4))."""
+    dec = rank.parallel_rank_pair1(fm.blocks, first, second, budget,
+                                   valid=valid)
+    return fm.F + dec[:, 0], fm.F + dec[:, 1]
 
 
 def lf_range_char(fm: FMIndex, first, second, c):

@@ -66,6 +66,15 @@ _NARROW = _os.environ.get("EBWT_NARROW", "1") != "0"
 # hot loop stays print-free
 _PROGRESS = _os.environ.get("EBWT_PROGRESS", "0") != "0"
 
+# budget-sliced compaction gather (see _sliced_prefix_gather): gather only
+# the kept prefix of child slots instead of all 4C. EBWT_COMPACT_SLICED=0
+# restores the gather-all formulation for A/B runs.
+_SLICED = _os.environ.get("EBWT_COMPACT_SLICED", "1") != "0"
+
+
+def _compact_budget(C: int) -> int | None:
+    return C if _SLICED else None
+
 
 def _dedup_budget(n_queries: int) -> int:
     return max(8, int(n_queries * _DEDUP_FRAC))
@@ -90,7 +99,36 @@ class TraversalResult:
     stats: dict
 
 
-def _compact(flat, keep):
+def _sliced_prefix_gather(flat, idx, n_keep, budget: int):
+    """Gather flat rows at idx[:n_keep] into a fresh buffer via
+    budget-sized slices of a data-dependent inner while_loop.
+
+    Gather cost on TPU is per-row (docs/PERF.md), and typically only a
+    fraction of child slots survive compaction, so gathering just the
+    kept prefix (rounded up to `budget`) instead of all m slots saves
+    most of the compaction gather. Rows past n_keep are garbage (zeros /
+    stale), which the queue contract tolerates: appended pad rows are
+    overwritten by later appends before `head` can reach them, and
+    callers slice by the returned count."""
+    m = flat.shape[0]
+    budget = min(budget, m)
+    out = jnp.zeros_like(flat)
+
+    def wcond(state):
+        return state[0] * budget < n_keep
+
+    def wstep(state):
+        it, out = state
+        sel = jax.lax.dynamic_slice(idx, (it * budget,), (budget,))
+        rows = flat[jnp.minimum(sel, m - 1)]
+        return it + 1, jax.lax.dynamic_update_slice(
+            out, rows, (it * budget, jnp.int32(0))
+        )
+
+    return jax.lax.while_loop(wcond, wstep, (jnp.int32(0), out))[1]
+
+
+def _compact(flat, keep, budget: int | None = None):
     """Dense-prefix compaction of kept rows; returns (buffer, count).
 
     The permutation comes from ONE s32 sort of keep-tagged iotas (kept
@@ -99,14 +137,43 @@ def _compact(flat, keep):
     while the previous cumsum + index-scatter formulation paid ~4.9 ms
     per 1M entries (scatter processes every entry at ~5-10 ns; a direct
     row scatter is worse still at <1 GB/s). Rows at positions >= count
-    are garbage (copies of the last row), which is safe for the queue:
-    appended pad rows are overwritten by later appends before `head` can
-    reach them, and callers slice by the returned count.
+    are garbage, which is safe for the queue (see _sliced_prefix_gather).
+
+    budget: when set, only the kept prefix is gathered, in budget-sized
+    slices (the traversal bodies pass chunk-sized budgets; the small
+    fixed-shape frontier compactions gather everything).
     """
     m = flat.shape[0]
     iota = jnp.arange(m, dtype=jnp.int32)
     perm = jax.lax.sort(jnp.where(keep, iota, m + iota))
-    return flat[jnp.minimum(perm, m - 1)], keep.sum(dtype=jnp.int32)
+    n_keep = keep.sum(dtype=jnp.int32)
+    if budget is None:
+        return flat[jnp.minimum(perm, m - 1)], n_keep
+    return _sliced_prefix_gather(flat, perm, n_keep, budget), n_keep
+
+
+def _compact_cm(flat_rm, keep_cm, budget: int | None = None):
+    """Char-major compaction reading row-major child storage.
+
+    The extension tensors are built row-major ((C, k, w) — node-major),
+    but the queue wants char-major order (children extending by the same
+    character live in the same F-region, so consecutive queue entries
+    gather from nearby block rows). Instead of materializing a
+    transposed (k*C, w) copy (a minor-dim shuffle XLA lowers to a real
+    pass over the array), sort char-major SLOT IDS (char j of node i is
+    j*C + i) and remap the winning slots to row-major indices inside the
+    gather — the transpose becomes index arithmetic."""
+    C, k = keep_cm.shape
+    m = C * k
+    slot = (jnp.arange(k, dtype=jnp.int32)[None, :] * C
+            + jnp.arange(C, dtype=jnp.int32)[:, None])  # (C, k) char-major
+    perm = jax.lax.sort(jnp.where(keep_cm, slot, m + slot).reshape(m))
+    cm = jnp.minimum(perm, m - 1)
+    rm = (cm % C) * k + cm // C
+    n_keep = keep_cm.sum(dtype=jnp.int32)
+    if budget is None:
+        return flat_rm[rm], n_keep
+    return _sliced_prefix_gather(flat_rm, rm, n_keep, budget), n_keep
 
 
 # ---------------------------------------------------------------------------
@@ -202,15 +269,17 @@ def _leaf_children(fm, first, second, depth, valid):
         lo4, hi4 = fm_ops.lf_range_dedup(
             fm, first, second, budget=_dedup_budget(2 * C)
         )
+    elif _NARROW:
+        lo4, hi4 = fm_ops.lf_range_narrow(
+            fm, first, second, budget=_narrow_budget(C), valid=valid
+        )
     else:
         lo4, hi4 = fm_ops.lf_range(fm, first, second)
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
     children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
     keep = valid[:, None] & ((hi4 - lo4) >= 2)
-    return _compact(
-        jnp.swapaxes(children, 0, 1).reshape(C * 4, 3),
-        jnp.swapaxes(keep, 0, 1).reshape(C * 4),
-    )
+    return _compact_cm(children.reshape(C * 4, 3), keep,
+                       budget=_compact_budget(C))
 
 
 def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
@@ -304,6 +373,23 @@ def _split_lanes(dif):
     return netK, netR
 
 
+# tri-lane packed pair deltas (K bits 0-10, R bits 11-21, DA bits 22-31)
+# stay exact while every per-position net boundary count < 2^9 (the top
+# lane's signed range); max leaf depth bounds that count, with margin
+_LANE3_SAFE_DEPTH = 480
+
+
+def _split_lanes3(dif):
+    """Carry-aware tri-lane decode: word == netK + 2^11*netR + 2^22*netDA
+    exactly, recovered lane by lane by sign-extension + subtraction while
+    |netK|, |netR| < 2^10 and |netDA| < 2^9."""
+    netK = (dif << 21) >> 21  # sign-extend low 11 bits
+    rem = (dif - netK) >> 11  # exact multiple of 2^11
+    netR = (rem << 21) >> 21
+    netD = (rem - netR) >> 11
+    return netK, netR, netD
+
+
 def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     """Internal-node step (phase 3): border LCP writes, minima marks, and
     Weiner-link extension (update_lcp_threshold include.hpp:826-860;
@@ -355,10 +441,8 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     # char-major compaction: children extending by the same character live in
     # the same F-region, so consecutive queue entries gather from nearby
     # block rows (better HBM locality); ordering is free (writes order-free)
-    out, n_out = _compact(
-        jnp.swapaxes(ext, 0, 1).reshape(C * 4, 7),
-        jnp.swapaxes(keep, 0, 1).reshape(C * 4),
-    )
+    out, n_out = _compact_cm(ext.reshape(C * 4, 7), keep,
+                             budget=_compact_budget(C))
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3])
@@ -374,6 +458,10 @@ def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid):
         b = _dedup_budget(2 * C)
         lo1, hi1 = fm_ops.lf_range_dedup(fm1, f1, s1, budget=b)
         lo2, hi2 = fm_ops.lf_range_dedup(fm2, f2, s2, budget=b)
+    elif _NARROW:
+        b = _narrow_budget(C)
+        lo1, hi1 = fm_ops.lf_range_narrow(fm1, f1, s1, budget=b, valid=valid)
+        lo2, hi2 = fm_ops.lf_range_narrow(fm2, f2, s2, budget=b, valid=valid)
     else:
         lo1, hi1 = fm_ops.lf_range(fm1, f1, s1)
         lo2, hi2 = fm_ops.lf_range(fm2, f2, s2)
@@ -381,7 +469,8 @@ def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid):
     children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
     combined = (hi1 - lo1) + (hi2 - lo2)
     keep = (valid[:, None] & (combined >= 2)).reshape(C * 4)
-    return _compact(children.reshape(C * 4, 5), keep)
+    return _compact(children.reshape(C * 4, 5), keep,
+                    budget=_compact_budget(C))
 
 
 def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
@@ -411,6 +500,49 @@ def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
         jnp.where(valid, end + stride, dummy),
     ])
     val = jnp.concatenate([v, -v, one, -one])
+    dif = dif.at[idx].add(val, mode="drop")
+
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid)
+    stats = (
+        stats[0] + count,
+        stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
+        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
+        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
+    )
+    return out, n_out, (dif,), stats
+
+
+def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
+    """Tri-lane packed leaf-pair step — the production formulation.
+
+    The scatter's per-entry cost tracks the TARGET array's size
+    (docs/PERF.md), so the K/R/DA boundary deltas of a leaf pair all ride
+    ONE (n+1,) int32 vector (lanes: K bits 0-10, R 11-21, DA 22-31)
+    instead of the (2*(n+1),) dual-area layout — half the target, and the
+    `end` index carries its K/R and DA deltas in a single entry (3
+    entries per leaf instead of 4). Exact while per-position nesting
+    counts stay under 2^9 (_LANE3_SAFE_DEPTH, verified from the max-depth
+    stat after the phase; navigate_two_bwts reruns with _leaf_pair_body /
+    _leaf_pair_body_wide in the pathological case). chunk: (C,5)."""
+    (dif,) = flags  # (n+1,) int32 tri-lane
+    C = chunk.shape[0]
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
+    start1 = f1 + f2
+    start2 = f2 + s1
+    end = s1 + s2
+    dummy = jnp.int32(dif.shape[0])
+
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    v = condK * 1 + condR * (1 << 11)
+    d = valid * (1 << 22)
+    idx = jnp.concatenate([
+        jnp.where(v > 0, start1 + 1, dummy),
+        jnp.where(valid, start2, dummy),
+        jnp.where(valid, end, dummy),
+    ])
+    val = jnp.concatenate([v, d, -(v + d)])
     dif = dif.at[idx].add(val, mode="drop")
 
     out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid)
@@ -535,7 +667,8 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
         [ext1[..., :6], ext2[..., :6], ext1[..., 6:7]], axis=-1
     )
     keep = (valid[:, None] & (n_union >= 2)).reshape(C * 4)
-    out, n_out = _compact(children.reshape(C * 4, 13), keep)
+    out, n_out = _compact(children.reshape(C * 4, 13), keep,
+                          budget=_compact_budget(C))
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3] + da_values)
@@ -675,11 +808,15 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
             (fm,), fm.first_leaf()[None, :], (dif,), _leaf_body_wide, n,
             K, k_right,
         )
-        difK, difR = dif[: n + 1], dif[n + 1:]
+        fill_K = jnp.cumsum(dif[:n]) > 0
+        fill_R = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
     else:
-        difK, difR = _split_lanes(dif)
+        # one packed cumsum then the carry-aware lane split (exact under
+        # the same running-net bound that guards the scatter packing)
+        netK, netR = _split_lanes(jnp.cumsum(dif[:n]))
+        fill_K, fill_R = netK > 0, netR > 0
     if timing:
-        np.asarray(difK[:1])
+        np.asarray(fill_K[:1])
         print(f"[timing] leaf phase: {_time.perf_counter() - t0:.2f}s",
               flush=True)
         t0 = _time.perf_counter()
@@ -698,8 +835,6 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
         "max_pending": max(maxp_l, maxp_n),
     }
     pf = _unpack_flags(nf, n)
-    fill_K = jnp.cumsum(difK[: n]) > 0
-    fill_R = jnp.cumsum(difR[: n]) > 0
     thr_K = ((pf & 1) != 0) | fill_K
     thr_R = ((pf & 2) != 0) | fill_R
     minima = ((pf & 4) != 0).astype(jnp.uint8)
@@ -723,22 +858,36 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     l1 = fm1.first_leaf()
     l2 = fm2.first_leaf()
     start = np.array([[l1[0], l1[1], l2[0], l2[1], 0]], dtype=np.int32)
-    dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
+    dif = jnp.zeros(n + 1, dtype=jnp.int32)
     (dif,), st_l, maxp_l = _run_phase(
-        (fm1, fm2), start, (dif,), _leaf_pair_body, n, K, k_right,
+        (fm1, fm2), start, (dif,), _leaf_pair_body3, n, K, k_right,
     )
-    if int(st_l[2]) >= _LANE_SAFE_DEPTH:
+    # one packed cumsum then a carry-aware lane split: exact while the
+    # RUNNING per-position net counts respect the lane bounds — the same
+    # max-depth bound that guards the scatter packing itself
+    if int(st_l[2]) < _LANE3_SAFE_DEPTH:
+        netK, netR, netD = _split_lanes3(jnp.cumsum(dif[:n]))
+        fill_K, fill_R, fill_D = netK > 0, netR > 0, netD > 0
+    elif int(st_l[2]) < _LANE_SAFE_DEPTH:
+        # deep input: rerun with the dual-lane + DA-area layout
+        dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
+        (dif,), st_l, maxp_l = _run_phase(
+            (fm1, fm2), start, (dif,), _leaf_pair_body, n, K, k_right,
+        )
+        netK, netR = _split_lanes(jnp.cumsum(dif[:n]))
+        fill_K, fill_R = netK > 0, netR > 0
+        fill_D = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
+    else:
+        # pathological depth: int32-per-field layout
         dif = jnp.zeros(3 * (n + 1), dtype=jnp.int32)
         (dif,), st_l, maxp_l = _run_phase(
             (fm1, fm2), start, (dif,), _leaf_pair_body_wide, n, K, k_right,
         )
-        difK, difR = dif[: n + 1], dif[n + 1: 2 * (n + 1)]
-        difD = dif[2 * (n + 1):]
-    else:
-        difK, difR = _split_lanes(dif[: n + 1])
-        difD = dif[n + 1:]
+        fill_K = jnp.cumsum(dif[:n]) > 0
+        fill_R = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
+        fill_D = jnp.cumsum(dif[2 * (n + 1): 2 * (n + 1) + n]) > 0
     if timing:
-        np.asarray(difK[:1])
+        np.asarray(fill_K[:1])
         print(f"[timing] leaf-pair phase: {_time.perf_counter() - t0:.2f}s",
               flush=True)
         t0 = _time.perf_counter()
@@ -762,10 +911,10 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
         "max_pending": max(maxp_l, maxp_n),
     }
     pf = _unpack_flags(nf, n)
-    thr_K = ((pf & 1) != 0) | (jnp.cumsum(difK[:n]) > 0)
-    thr_R = ((pf & 2) != 0) | (jnp.cumsum(difR[:n]) > 0)
+    thr_K = ((pf & 1) != 0) | fill_K
+    thr_R = ((pf & 2) != 0) | fill_R
     minima = ((pf & 4) != 0).astype(jnp.uint8)
-    da = ((pf & 8) != 0) | (jnp.cumsum(difD[:n]) > 0)
+    da = ((pf & 8) != 0) | fill_D
     return TraversalResult(thr_K=thr_K.astype(jnp.uint8),
                            thr_R=thr_R.astype(jnp.uint8), minima=minima,
                            da=da.astype(jnp.uint8), stats=stats)

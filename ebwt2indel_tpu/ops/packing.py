@@ -210,6 +210,24 @@ def pack_file_cached(path: str, term: int = dna.DEFAULT_TERM,
     return pb
 
 
+def term_positions(pb: PackedBwt) -> np.ndarray:
+    """Positions of the TERM characters, extracted from bitplane 2.
+
+    TERM is the only code with plane-2 set (code 4 = 0b100), so plane 2
+    IS the terminator bitmap. Terminators are ~1% of a read collection's
+    eBWT (one per read), so shipping them as sparse int32 positions and
+    rebuilding the plane on device beats uploading the dense plane over
+    the host link (models/fm_index.from_packed, EBWT_LEAN_UPLOAD=2).
+    Extraction touches only the nonzero plane words."""
+    p2 = pb.blocks[:, 8:12].reshape(-1)  # flat uint32 words, LSB-first
+    nz = np.flatnonzero(p2)
+    if nz.size == 0:
+        return np.zeros(0, dtype=np.int32)
+    bitmat = (p2[nz][:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    r, c = np.nonzero(bitmat)
+    return (nz[r].astype(np.int64) * 32 + c).astype(np.int32)
+
+
 def pack_bitvector(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Pack a 0/1 array into (n_blocks,4) uint32 words + (n_blocks,) int32
     absolute cumulative popcounts — the rank-1 structure for the document array

@@ -193,6 +193,18 @@ def parallel_rank_sorted(blocks, coords, budget: int, valid=None):
     wide = ~jnp.all(use_hi | (b == b[:, :1]), axis=1)
     if valid is not None:
         wide = wide & valid
+    return _wide_fixup(blocks, coords, dec, wide, budget)
+
+
+def _wide_fixup(blocks, coords, dec, wide, budget: int):
+    """Overwrite anchor decodes of ``wide`` rows with exact dense ranks.
+
+    Budget-sliced data-dependent inner while_loop: bv_select extracts up
+    to ``budget`` wide-row indices per slice (gather-only — not the
+    O(C*k) cumsum+scatter compaction that sank earlier variants), a dense
+    per-coordinate rank answers them, and a row scatter overwrites their
+    entries in ``dec``. Zero iterations for all-narrow chunks."""
+    C = coords.shape[0]
     n_wide = jnp.sum(wide.astype(jnp.int32))
     words, counts = bits.bv_build(wide.astype(jnp.uint8))
     ar = jnp.arange(budget, dtype=jnp.int32)
@@ -210,8 +222,29 @@ def parallel_rank_sorted(blocks, coords, budget: int, valid=None):
         dec = dec.at[jnp.where(ok, sel, C)].set(wdec, mode="drop")
         return it + 1, dec
 
-    _, dec = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), dec))
-    return dec
+    return jax.lax.while_loop(wcond, wstep, (jnp.int32(0), dec))[1]
+
+
+def parallel_rank_pair1(blocks, first, second, budget: int, valid=None):
+    """parallel_rank at interval endpoints (first, second) with ONE anchor
+    row gather per pair.
+
+    Suffix-tree leaf intervals are ~read-coverage wide, so both endpoints
+    nearly always live in the same 128-char rank block — gather the block
+    row of ``first`` only (C rows instead of 2C; gather cost is per-row,
+    docs/PERF.md) and decode both offsets against it. Pairs straddling a
+    block boundary are answered exactly by the budget-sliced dense side
+    loop (`_wide_fixup`). valid: optional (C,) bool mask of real rows —
+    invalid rows skip the side loop and may decode to garbage (callers
+    mask). Returns int32 (C, 2, 4)."""
+    coords = jnp.stack([first, second], axis=-1)  # (C, 2)
+    b = jax.lax.shift_right_logical(coords, 7)
+    o = coords & jnp.int32(BLOCK - 1)
+    dec = _decode_rank_T_multi(blocks[b[:, 0]].T, o)  # (C, 2, 4)
+    wide = b[:, 0] != b[:, 1]
+    if valid is not None:
+        wide = wide & valid
+    return _wide_fixup(blocks, coords, dec, wide, budget)
 
 
 def parallel_rank_dedup(blocks, i, budget: int):

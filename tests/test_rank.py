@@ -231,3 +231,67 @@ def test_parallel_rank_dedup_matches_dense(rng, budget_frac):
     )
     want = np.asarray(rank.parallel_rank(blocks, jnp.asarray(qs)))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("budget", [8, 64])
+def test_parallel_rank_pair1_matches_dense(rng, budget):
+    """1-anchor pair rank (leaf lf_range fast path) == dense rank at both
+    endpoints, including block-straddling pairs fixed by the side loop."""
+    n = 5000
+    codes = random_codes(rng, n)
+    pb = packing.pack_codes(codes)
+    blocks = jnp.asarray(pb.blocks)
+    C = 300
+    first = rng.integers(0, n, size=C).astype(np.int32)
+    # mix of same-block (narrow) and straddling (wide) intervals
+    width = np.where(rng.random(C) < 0.5,
+                     rng.integers(0, 20, size=C),
+                     rng.integers(100, 800, size=C)).astype(np.int32)
+    second = np.minimum(first + width, n).astype(np.int32)
+    got = np.asarray(rank.parallel_rank_pair1(
+        blocks, jnp.asarray(first), jnp.asarray(second), budget
+    ))
+    want = np.asarray(rank.parallel_rank(
+        blocks, jnp.asarray(np.stack([first, second], axis=-1))
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_parallel_rank_pair1_valid_mask(rng):
+    """Invalid rows are excluded from the wide side pass; valid rows stay
+    exact even when every invalid row straddles blocks."""
+    n = 4000
+    codes = random_codes(rng, n)
+    pb = packing.pack_codes(codes)
+    blocks = jnp.asarray(pb.blocks)
+    C = 64
+    first = rng.integers(0, n - 1000, size=C).astype(np.int32)
+    second = (first + 900).astype(np.int32)  # all wide
+    valid = (np.arange(C) % 2 == 0)
+    got = np.asarray(rank.parallel_rank_pair1(
+        blocks, jnp.asarray(first), jnp.asarray(second), 16,
+        valid=jnp.asarray(valid)
+    ))
+    want = np.asarray(rank.parallel_rank(
+        blocks, jnp.asarray(np.stack([first, second], axis=-1))
+    ))
+    np.testing.assert_array_equal(got[valid], want[valid])
+
+
+def test_sparse_term_upload_matches_dense_blocks(rng):
+    """EBWT_LEAN_UPLOAD=2 device rebuild (2 planes + sparse TERM scatter)
+    is bit-identical to the host packer's full block layout."""
+    from ebwt2indel_tpu.models import fm_index
+
+    n = 10000
+    codes = random_codes(rng, n, p_term=0.01)
+    pb = packing.pack_codes(codes)
+    tpos = packing.term_positions(pb)
+    np.testing.assert_array_equal(np.sort(tpos),
+                                  np.flatnonzero(codes == 4))
+    blocks, cum = fm_index._build_blocks_sparse_term(
+        jnp.asarray(np.ascontiguousarray(pb.blocks[:, :8])),
+        jnp.asarray(tpos), n=pb.n,
+    )
+    np.testing.assert_array_equal(np.asarray(blocks), pb.blocks)
+    np.testing.assert_array_equal(np.asarray(cum), pb.block_counts)

@@ -71,18 +71,23 @@ def test_leaf_wide_fallback_matches_packed(rng, monkeypatch):
 
     packed1 = traverse.navigate_one_bwt(fm, 5, 8)
     packed2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
+    # force the mid cascade branch (dual-lane + DA-area pair layout)
+    monkeypatch.setattr(T, "_LANE3_SAFE_DEPTH", 0)
+    dual2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
+    # force the int32-per-field programs (single + pair)
     monkeypatch.setattr(T, "_LANE_SAFE_DEPTH", 0)
     wide1 = traverse.navigate_one_bwt(fm, 5, 8)
     wide2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
-    for a, b in ((packed1, wide1), (packed2, wide2)):
+    for a, b in ((packed1, wide1), (packed2, dual2), (packed2, wide2)):
         np.testing.assert_array_equal(np.asarray(a.thr_K),
                                       np.asarray(b.thr_K))
         np.testing.assert_array_equal(np.asarray(a.thr_R),
                                       np.asarray(b.thr_R))
         np.testing.assert_array_equal(np.asarray(a.minima),
                                       np.asarray(b.minima))
-    np.testing.assert_array_equal(np.asarray(packed2.da),
-                                  np.asarray(wide2.da))
+    for b in (dual2, wide2):
+        np.testing.assert_array_equal(np.asarray(packed2.da),
+                                      np.asarray(b.da))
 
 
 def test_navigate_two_bwts_matches_merged(rng):
@@ -163,3 +168,63 @@ def test_queue_roll_reclaim_matches_large_queue(rng):
     small_nf, small_stats = run(256)
     np.testing.assert_array_equal(small_nf, big_nf)
     np.testing.assert_array_equal(small_stats, big_stats)
+
+
+def test_split_lanes3_roundtrip():
+    """Tri-lane packed word decode is exact across the full lane ranges
+    (|netK|, |netR| < 2^10; |netDA| < 2^9)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    vals = [-511, -480, -17, -1, 0, 1, 29, 480, 511]
+    ks, rs, ds = zip(*itertools.product(vals, vals, vals))
+    ks, rs, ds = (np.asarray(x, np.int32) for x in (ks, rs, ds))
+    word = ks + (rs << 11) + (ds << 22)
+    gk, gr, gd = traverse._split_lanes3(jnp.asarray(word))
+    np.testing.assert_array_equal(np.asarray(gk), ks)
+    np.testing.assert_array_equal(np.asarray(gr), rs)
+    np.testing.assert_array_equal(np.asarray(gd), ds)
+
+
+@pytest.mark.parametrize("budget", [None, 7, 64])
+def test_compact_cm_matches_transposed_compact(budget):
+    """Fused char-major compaction == transpose + row-major compaction,
+    on the kept prefix (rows past the count are unspecified)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    C, k, w = 50, 4, 7
+    flat_rm = rng.integers(0, 1000, size=(C * k, w)).astype(np.int32)
+    keep = rng.random((C, k)) < 0.3
+    got, n_got = traverse._compact_cm(jnp.asarray(flat_rm),
+                                      jnp.asarray(keep), budget=budget)
+    want, n_want = traverse._compact(
+        jnp.asarray(np.swapaxes(flat_rm.reshape(C, k, w), 0, 1)
+                    .reshape(k * C, w)),
+        jnp.asarray(np.swapaxes(keep, 0, 1).reshape(k * C)),
+    )
+    assert int(n_got) == int(n_want)
+    m = int(n_got)
+    np.testing.assert_array_equal(np.asarray(got)[:m], np.asarray(want)[:m])
+
+
+@pytest.mark.parametrize("budget", [3, 16, 200])
+def test_compact_sliced_prefix(budget):
+    """Budget-sliced row-major compaction matches gather-all on the kept
+    prefix across slice counts (0, several, partial-final)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    m, w = 120, 5
+    flat = rng.integers(0, 99, size=(m, w)).astype(np.int32)
+    for frac in (0.0, 0.2, 1.0):
+        keep = rng.random(m) < frac
+        got, n_got = traverse._compact(jnp.asarray(flat), jnp.asarray(keep),
+                                       budget=budget)
+        want, n_want = traverse._compact(jnp.asarray(flat),
+                                         jnp.asarray(keep))
+        assert int(n_got) == int(n_want) == int(keep.sum())
+        c = int(n_got)
+        np.testing.assert_array_equal(np.asarray(got)[:c],
+                                      np.asarray(want)[:c])
