@@ -48,6 +48,34 @@ from . import shard
 AXIS = shard.AXIS
 
 
+def _route(flat, keep, dest, segN, *, n_dev, sid):
+    """Fixed-shape all_to_all routing of kept rows to dest shards
+    (dest-sorted buckets; per-bucket counts ride an all_gather). Must run
+    in lockstep on every shard (call only from shard_map bodies at fixed
+    program points). Returns (received compacted rows, their count, an
+    overflow flag set when any bucket exceeds segN)."""
+    m = flat.shape[0]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    sp = jax.lax.sort(jnp.where(keep, dest * m + iota,
+                                n_dev * m + iota))
+    rows_sorted = flat[jnp.minimum(sp % m, m - 1)]
+    sdest = jnp.minimum(sp // m, n_dev - 1)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    cnt = jnp.zeros(n_dev, jnp.int32).at[
+        jnp.where(iota < n_keep, sdest, n_dev)
+    ].add(1, mode="drop")
+    ovf = jnp.any(cnt > segN).astype(jnp.int32)
+    off = jnp.cumsum(cnt) - cnt
+    slot_d = jnp.arange(n_dev * segN, dtype=jnp.int32) // segN
+    slot_s = jnp.arange(n_dev * segN, dtype=jnp.int32) % segN
+    src = jnp.where(slot_s < cnt[slot_d], off[slot_d] + slot_s, 0)
+    send = rows_sorted[jnp.minimum(src, m - 1)]
+    recv = jax.lax.all_to_all(send, AXIS, 0, 0, tiled=True)
+    cnt_all = jax.lax.all_gather(cnt, AXIS)
+    rq, n_rq = t1._compact(recv, slot_s < cnt_all[:, sid][slot_d])
+    return rq, n_rq, ovf
+
+
 @partial(jax.jit,
          static_argnames=("mesh", "rows", "queue_cap", "chunk", "wbudget",
                           "fbudget", "seg", "K", "k_right"))
@@ -590,6 +618,211 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
 @partial(jax.jit,
          static_argnames=("mesh", "rows1", "rows2", "local_n", "queue_cap",
                           "chunk", "seg", "fseg", "K", "k_right"))
+def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
+                              rows2, local_n, queue_cap, chunk, seg,
+                              fseg, K, k_right):
+    """Frontier-sharded lockstep leaf-pair phase (modes 2/3 merge;
+    reference update_DA ebwt2InDel.cpp:394-425 + next_leaves
+    dna_bwt.hpp:358-379; cf. models/traverse._leaf_pair_body3).
+
+    A leaf pair lives on the shard owning the block row of its side-1
+    ``first`` coordinate; the side-1 lf_range is halo-local for the
+    (nearly universal) pairs whose side-1 interval spans <= 2 rank
+    blocks. Side-2 lf_ranges and wide side-1 rows are answered over an
+    all_gather of the step's chunks by owned-anchor compaction + one
+    psum. Boundary deltas ride the TRI-LANE packed word of the
+    single-chip path (K bits 0-10, R 11-21, DA 22-31 — exact while
+    per-position nesting < 2^9, which the caller verifies from the
+    max-depth stat and falls back to the replicated dense-plane phase):
+    (position, word) entries route to the owner of the merged position
+    (local_n partition) with the same fixed-shape all_to_all as the
+    children. Returns (dif_l sharded (local_n,) int32, stats(4,)
+    [leaves, lcp, max_depth, da_sum], overflow count).
+
+    meta = concat(F1(4), F2(4), first_leaf_pair_row(5))."""
+    n_dev = mesh.devices.size
+    M = 4 * chunk
+    G = n_dev * chunk
+    MAXAPP = n_dev * seg
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS, None), P(AXIS, None), P()),
+             out_specs=(P(AXIS), P(), P()),
+             check_vma=False)
+    def run(b1_l, b2_l, meta_rep):
+        sid = jax.lax.axis_index(AXIS)
+        F1 = meta_rep[:4]
+        F2 = meta_rep[4:8]
+        seed_row = meta_rep[8:13]
+        base_row = sid * rows1
+        base_pos = sid * local_n
+        halo = jax.lax.ppermute(
+            b1_l[0], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        b1_h = jnp.concatenate([b1_l, halo[None]], axis=0)
+
+        q = jnp.zeros((queue_cap + MAXAPP, 5), dtype=jnp.int32)
+        dif_l = jnp.zeros(local_n, dtype=jnp.int32)
+
+        def body(state):
+            (q, head, tail, dif_l, stats, pending, govf) = state
+            need = (tail + MAXAPP) > q.shape[0]
+            q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
+                             lambda a, h: a, q, head)
+            tail = jnp.where(need, tail - head, tail)
+            head = jnp.where(need, 0, head)
+            ovf = ((tail + MAXAPP) > q.shape[0]).astype(jnp.int32)
+
+            count = jnp.minimum(tail - head, chunk)
+            block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)),
+                                          (chunk, 5))
+            valid = jnp.arange(chunk, dtype=jnp.int32) < count
+            f1, s1, f2, s2, depth = (block[:, i] for i in range(5))
+            bf = jax.lax.shift_right_logical(f1, 7)
+            bs = jax.lax.shift_right_logical(s1, 7)
+            narrow1 = valid & ((bs - bf) <= 1)
+
+            # side-1 narrow lf_range: both anchor rows local via the halo
+            o2 = jnp.stack([f1, s1], -1) & jnp.int32(127)
+            af = jnp.clip(bf - base_row, 0, rows1)
+            asx = jnp.clip(bs - base_row, 0, rows1)
+            dec_f = shard._local_decode_multi(b1_h[af], o2)[:, 0]
+            dec_s = shard._local_decode_multi(b1_h[asx], o2)[:, 1]
+            r1 = jnp.stack([dec_f, dec_s], axis=1)  # (C, 2, 4)
+
+            # gathered set: side-2 lf_ranges for everything, side-1 for
+            # the wide rows; owned-anchor compaction + one psum
+            gall = jax.lax.all_gather(block, AXIS)  # (n_dev, C, 5)
+            gflat = gall.reshape(G, 5)
+            bud = max(128, G // 8)
+            r2_all, r1w_all = jax.lax.psum(
+                (shard.local_parallel_rank_sorted(
+                    b2_l, rows2, gflat[:, 2:4], budget=bud),
+                 shard.local_parallel_rank_sorted(
+                     b1_l, rows1, gflat[:, 0:2], budget=bud)),
+                AXIS,
+            )  # each (G, 2, 4)
+            r2 = jax.lax.dynamic_slice(
+                r2_all.reshape(n_dev, chunk, 2, 4),
+                (sid, 0, 0, 0), (1, chunk, 2, 4),
+            )[0]
+            r1w = jax.lax.dynamic_slice(
+                r1w_all.reshape(n_dev, chunk, 2, 4),
+                (sid, 0, 0, 0), (1, chunk, 2, 4),
+            )[0]
+            wide1 = valid & ~narrow1
+            r1 = jnp.where(wide1[:, None, None], r1w, r1)
+
+            lo1 = F1 + r1[:, 0]  # (C, 4)
+            hi1 = F1 + r1[:, 1]
+            lo2 = F2 + r2[:, 0]
+            hi2 = F2 + r2[:, 1]
+
+            # tri-lane boundary deltas, routed to the merged-position owner
+            start1 = f1 + f2
+            start2 = f2 + s1
+            end = s1 + s2
+            condK = valid & (depth >= K)
+            condR = valid & (depth >= k_right)
+            v = condK * 1 + condR * (1 << 11)
+            d = valid * (1 << 22)
+            didx = jnp.concatenate([start1 + 1, start2, end])
+            dval = jnp.concatenate([v, d, -(v + d)])
+            dkeep = jnp.concatenate([v > 0, valid, valid])
+            fr, n_fr, ovf_f = _route(
+                jnp.stack([didx, dval], axis=-1), dkeep,
+                jnp.clip(didx // local_n, 0, n_dev - 1), fseg,
+                n_dev=n_dev, sid=sid,
+            )
+            flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
+            dif_l = dif_l.at[
+                jnp.where(flive, fr[:, 0] - base_pos, local_n)
+            ].add(fr[:, 1], mode="drop")
+            ovf = ovf + ovf_f
+
+            # children (next_leaves): combined size >= 2, routed by the
+            # owner of the child's side-1 first coordinate
+            child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
+            children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], -1)
+            combined = (hi1 - lo1) + (hi2 - lo2)
+            keep = (valid[:, None] & (combined >= 2)).reshape(M)
+            flat_c = children.reshape(M, 5)
+            rq, n_rq, ovf_c = _route(
+                flat_c, keep,
+                jnp.clip(
+                    jax.lax.shift_right_logical(flat_c[:, 0], 7) // rows1,
+                    0, n_dev - 1,
+                ), seg, n_dev=n_dev, sid=sid,
+            )
+            ovf = ovf + ovf_c
+
+            q = jax.lax.dynamic_update_slice(q, rq, (tail, jnp.int32(0)))
+            tail = tail + n_rq
+            head = head + count
+
+            stats = (
+                stats[0] + count,
+                stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
+                jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
+                stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),
+            )
+            glob = jax.lax.psum(jnp.stack([tail - head, ovf]), AXIS)
+            return (q, head, tail, dif_l, stats, glob[0], govf + glob[1])
+
+        def cond(state):
+            return (state[5] > 0) & (state[6] == 0)
+
+        q = q.at[0].set(jnp.where(sid == 0, seed_row, 0))
+        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
+        stats0 = (jnp.int32(0),) * 4
+        state = (q, jnp.int32(0), tail0, dif_l, stats0,
+                 jax.lax.psum(tail0, AXIS), jnp.int32(0))
+        state = jax.lax.while_loop(cond, body, state)
+        _, _, _, dif_l, stats, _, govf = state
+        smax = jax.lax.pmax(stats[2], AXIS)
+        ssum = jax.lax.psum(
+            jnp.stack([stats[0], stats[1], stats[3]]), AXIS
+        )
+        return dif_l, jnp.stack(
+            [ssum[0], ssum[1], smax, ssum[2]]
+        ), govf
+
+    return run(blocks1, blocks2, meta)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _combine_frontier_pair(mesh, nf, dif):
+    """Pair-mode frontier combine: per-position bit flags (node-pair
+    phase) + tri-lane packed boundary deltas (leaf-pair phase), via one
+    local packed cumsum + an exclusive cross-shard prefix of packed
+    totals, then the carry-aware 3-lane decode (exact while running
+    per-position nesting counts respect the lane bounds — the same
+    max-depth guard as the scatter packing). Both inputs are partitioned
+    by local_n merged positions."""
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS), P(AXIS)),
+             out_specs=(P(AXIS),) * 4)
+    def run(nf_l, dif_l):
+        sid = jax.lax.axis_index(AXIS)
+        n_dev = jax.lax.axis_size(AXIS)
+        cs = jnp.cumsum(dif_l)
+        totals = jax.lax.all_gather(cs[-1], AXIS)
+        before = jnp.arange(n_dev, dtype=jnp.int32) < sid
+        prefix = jnp.sum(jnp.where(before, totals, 0))
+        netK, netR, netD = t1._split_lanes3(cs + prefix)
+        thr_K = ((nf_l & 1) != 0) | (netK > 0)
+        thr_R = ((nf_l & 2) != 0) | (netR > 0)
+        minima = (nf_l & 4) != 0
+        da = ((nf_l & 8) != 0) | (netD > 0)
+        return thr_K, thr_R, minima, da
+
+    return run(nf, dif)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "rows1", "rows2", "local_n", "queue_cap",
+                          "chunk", "seg", "fseg", "K", "k_right"))
 def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                               rows2, local_n, queue_cap, chunk, seg,
                               fseg, K, k_right):
@@ -635,29 +868,7 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
         nf_l = jnp.zeros(nw_l, dtype=jnp.int32)
 
         def route(flat, keep, dest, segN):
-            """Fixed-shape all_to_all routing of kept rows to dest shards
-            (dest-sorted buckets; counts ride an all_gather). Returns the
-            received compacted rows, their count, and an overflow flag."""
-            m = flat.shape[0]
-            iota = jnp.arange(m, dtype=jnp.int32)
-            sp = jax.lax.sort(jnp.where(keep, dest * m + iota,
-                                        n_dev * m + iota))
-            rows_sorted = flat[jnp.minimum(sp % m, m - 1)]
-            sdest = jnp.minimum(sp // m, n_dev - 1)
-            n_keep = jnp.sum(keep.astype(jnp.int32))
-            cnt = jnp.zeros(n_dev, jnp.int32).at[
-                jnp.where(iota < n_keep, sdest, n_dev)
-            ].add(1, mode="drop")
-            ovf = jnp.any(cnt > segN).astype(jnp.int32)
-            off = jnp.cumsum(cnt) - cnt
-            slot_d = jnp.arange(n_dev * segN, dtype=jnp.int32) // segN
-            slot_s = jnp.arange(n_dev * segN, dtype=jnp.int32) % segN
-            src = jnp.where(slot_s < cnt[slot_d], off[slot_d] + slot_s, 0)
-            send = rows_sorted[jnp.minimum(src, m - 1)]
-            recv = jax.lax.all_to_all(send, AXIS, 0, 0, tiled=True)
-            cnt_all = jax.lax.all_gather(cnt, AXIS)
-            rq, n_rq = t1._compact(recv, slot_s < cnt_all[:, sid][slot_d])
-            return rq, n_rq, ovf
+            return _route(flat, keep, dest, segN, n_dev=n_dev, sid=sid)
 
         def pair_flag_entries(rows13, vmask):
             c1 = rows13[:, 0:6]
@@ -807,20 +1018,19 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
                                       chunk: int = 4096,
                                       seg: int | None = None,
                                       fseg: int | None = None):
-    """Frontier-sharded lockstep navigation for modes 2/3:
-    replicated-queue leaf-pair phase (its boundary-delta fills are dense,
-    so frontier routing buys little there) + frontier node-pair phase,
-    combined with the existing pair flag combine. Interface-compatible
-    with parallel.traverse.navigate_two_bwts_sharded_device."""
-    from jax.sharding import NamedSharding
-
+    """Frontier-sharded lockstep navigation for modes 2/3: frontier
+    leaf-pair phase (tri-lane packed routed deltas) + frontier node-pair
+    phase, combined with the packed-cumsum pair combine. Pathologically
+    deep inputs (leaf depth >= 2^9, the tri-lane bound) fall back to the
+    replicated-queue navigation, which is exact at any depth.
+    Interface-compatible with
+    parallel.traverse.navigate_two_bwts_sharded_device."""
     from . import traverse as ptraverse
 
     mesh = sfm1.mesh
     n_dev = mesh.devices.size
     n = sfm1.n + sfm2.n
     local_n = -(-(n + 2) // n_dev)
-    pad_n = local_n * n_dev
     if seg is None:
         seg = 2 * chunk
     if fseg is None:
@@ -828,15 +1038,25 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
 
     F1h = np.asarray(sfm1.F)
     F2h = np.asarray(sfm2.F)
-    dif = jax.device_put(np.zeros((3, pad_n), np.int32),
-                         NamedSharding(mesh, P(None, AXIS)))
-    init_l = np.array([[0, F1h[0], 0, F2h[0], 0]], np.int32)
-    dif, st_l, _ = ptraverse._sharded_leaf_pair_phase(
-        mesh, sfm1.blocks, sfm2.blocks, sfm1.F, sfm2.F,
-        jnp.asarray(init_l), dif,
-        rows1=sfm1.rows, rows2=sfm2.rows, local_n=local_n,
-        queue_cap=max(1 << 18, n // 32), chunk=4096, K=K, k_right=k_right,
-    )
+    meta_l = jnp.asarray(np.concatenate(
+        [F1h, F2h, [0, F1h[0], 0, F2h[0], 0]]
+    ).astype(np.int32))
+    qc = max(1 << 16, n // (16 * n_dev))
+    sg, fg = seg, fseg
+    while True:
+        dif, st_l, ovf = _frontier_leaf_pair_phase(
+            mesh, sfm1.blocks, sfm2.blocks, meta_l, rows1=sfm1.rows,
+            rows2=sfm2.rows, local_n=local_n, queue_cap=qc, chunk=chunk,
+            seg=sg, fseg=fg, K=K, k_right=k_right,
+        )
+        if int(ovf) == 0:
+            break
+        qc *= 2
+        sg *= 2
+        fg *= 2
+    if int(st_l[2]) >= t1._LANE3_SAFE_DEPTH:
+        return ptraverse.navigate_two_bwts_sharded_device(sfm1, sfm2,
+                                                          K, k_right)
 
     root = np.concatenate([
         [0], F1h, [sfm1.n], [0], F2h, [sfm2.n], [0]
@@ -864,9 +1084,7 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
         return t1._unpack_flags(nf_loc, nf_loc.shape[0] * 8)[:local_n]
 
     nf_pos = unpack(nf_l)
-    thr_K, thr_R, minima, da = ptraverse._combine_flags_pair(
-        mesh, nf_pos, dif
-    )
+    thr_K, thr_R, minima, da = _combine_frontier_pair(mesh, nf_pos, dif)
     return thr_K, thr_R, minima, da, (local_n, (st_l, st_n))
 
 

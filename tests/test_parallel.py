@@ -286,3 +286,35 @@ def test_sharded_full_navigation_matches_single_device(rng):
     np.testing.assert_array_equal(thr_K, np.asarray(res.thr_K))
     np.testing.assert_array_equal(thr_R, np.asarray(res.thr_R))
     np.testing.assert_array_equal(minima, np.asarray(res.minima))
+
+
+def test_frontier_pair_overflow_retry_and_depth_fallback(rng, monkeypatch):
+    """Starved leaf-pair budgets must trigger the overflow-retry doublings;
+    a forced tri-lane depth violation must fall back to the replicated
+    dense-plane navigation — both byte-identical to the replicated path."""
+    from ebwt2indel_tpu.models import traverse as T
+    from ebwt2indel_tpu.parallel import frontier
+    from ebwt2indel_tpu.parallel import traverse as ptraverse
+
+    mesh = shard.make_mesh(8)
+    codes1 = random_codes(rng, 12000, p_term=0.04)
+    codes2 = random_codes(rng, 9000, p_term=0.04)
+    pb1 = packing.pack_codes(codes1)
+    pb2 = packing.pack_codes(codes2)
+    sfm1 = shard.shard_fm(pb1, mesh)
+    sfm2 = shard.shard_fm(pb2, mesh)
+    K, k_right = 4, 7
+    eK, eR, eM, eD, _ = ptraverse.navigate_two_bwts_sharded_device(
+        sfm1, sfm2, K, k_right)
+    n = pb1.n + pb2.n
+
+    fK, fR, fM, fD, _ = frontier.navigate_two_bwts_frontier_device(
+        sfm1, sfm2, K, k_right, chunk=128, seg=16, fseg=16)
+    for f, e in ((fK, eK), (fR, eR), (fM, eM), (fD, eD)):
+        np.testing.assert_array_equal(np.asarray(f)[:n], np.asarray(e)[:n])
+
+    monkeypatch.setattr(T, "_LANE3_SAFE_DEPTH", 0)
+    gK, gR, gM, gD, _ = frontier.navigate_two_bwts_frontier_device(
+        sfm1, sfm2, K, k_right)
+    for f, e in ((gK, eK), (gR, eR), (gM, eM), (gD, eD)):
+        np.testing.assert_array_equal(np.asarray(f)[:n], np.asarray(e)[:n])
