@@ -83,7 +83,9 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
                          wbudget, fbudget, seg, K, k_right):
     """One frontier-sharded internal-node phase. F6 = (F_A,F_C,F_G,F_T,n).
     Returns per-shard packed flag words (P(AXIS), rows*16 words each),
-    psum'd stats(4,), and a global overflow count (host retries bigger)."""
+    psum'd stats(4,), a global overflow count (host retries bigger), and
+    the per-shard processed-node counts (n_dev,) — the load-balance
+    evidence for the ~1/n_dev queue-machinery scaling claim."""
     n_dev = mesh.devices.size
     M = 4 * chunk  # children slots per chunk; chunk is a power of two
     NW = n_dev * wbudget
@@ -91,7 +93,7 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P()),
-             out_specs=(P(AXIS), P(), P()),
+             out_specs=(P(AXIS), P(), P(), P()),
              check_vma=False)
     def run(blocks_l, F6_rep):
         sid = jax.lax.axis_index(AXIS)
@@ -296,7 +298,10 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
                  jax.lax.psum(tail0, AXIS), jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)
         _, _, _, nf_l, stats, _, govf = state
-        return nf_l, jax.lax.psum(jnp.stack(stats), AXIS), govf
+        # per-shard processed counts (replicated): the load-balance
+        # evidence for the ~1/n_dev queue-machinery scaling claim
+        work = jax.lax.all_gather(stats[0], AXIS)
+        return nf_l, jax.lax.psum(jnp.stack(stats), AXIS), govf, work
 
     return run(blocks, F6)
 
@@ -579,7 +584,7 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
 
     wb, fb, sg, qc = wbudget, fbudget, seg, queue_cap
     while True:
-        nf, st_n, ovf = _frontier_node_phase(
+        nf, st_n, ovf, _ = _frontier_node_phase(
             mesh, sfm.blocks, F6, rows=rows, queue_cap=qc, chunk=chunk,
             wbudget=wb, fbudget=fb, seg=sg, K=K, k_right=k_right,
         )
@@ -1090,8 +1095,11 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
 
 def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
     """Frontier-sharded internal-node phase; returns (thr_K, thr_R, minima)
-    host arrays + stats(4,), flag-equivalent to the replicated-queue phase
-    and the single-device traversal (parity-tested)."""
+    host arrays + stats(4,) + per-shard processed-node counts (n_dev,),
+    flag-equivalent to the replicated-queue phase and the single-device
+    traversal (parity-tested). The per-shard counts are the load-balance
+    evidence behind the ~1/n_dev queue-machinery scaling claim
+    (docs/PERF.md "Multi-chip scaling model")."""
     n_dev = mesh.devices.size
     blocks, _, F, rows = shard.shard_packed(pb, mesh)
     F6 = jnp.concatenate([jnp.asarray(F),
@@ -1100,7 +1108,7 @@ def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
     wbudget, fbudget, seg = 512, 2048, 2 * chunk
     queue_cap = max(1 << 16, pb.n // (16 * n_dev))
     while True:
-        nf_l, stats, ovf = _frontier_node_phase(
+        nf_l, stats, ovf, work = _frontier_node_phase(
             mesh, blocks, F6, rows=rows, queue_cap=queue_cap, chunk=chunk,
             wbudget=wbudget, fbudget=fbudget, seg=seg, K=K, k_right=k_right,
         )
@@ -1117,4 +1125,5 @@ def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
     pf = pf[: pb.n]
     return ((pf & 1) != 0).astype(np.uint8), \
         ((pf & 2) != 0).astype(np.uint8), \
-        ((pf & 4) != 0).astype(np.uint8), np.asarray(stats)
+        ((pf & 4) != 0).astype(np.uint8), np.asarray(stats), \
+        np.asarray(work)

@@ -90,7 +90,7 @@ def test_frontier_node_phase_matches_replicated(rng, n, p_term, K, k_right):
     mesh = shard.make_mesh(8)
     codes = random_codes(rng, n, p_term=p_term)
     pb = packing.pack_codes(codes)
-    fK, fR, fM, fstats = frontier.navigate_nodes_frontier(pb, mesh, K,
+    fK, fR, fM, fstats, _ = frontier.navigate_nodes_frontier(pb, mesh, K,
                                                           k_right)
     eK, eR, eM, estats = ptraverse.navigate_nodes_sharded(pb, mesh, K,
                                                           k_right)
@@ -318,3 +318,30 @@ def test_frontier_pair_overflow_retry_and_depth_fallback(rng, monkeypatch):
         sfm1, sfm2, K, k_right)
     for f, e in ((gK, eK), (gR, eR), (gM, eM), (gD, eD)):
         np.testing.assert_array_equal(np.asarray(f)[:n], np.asarray(e)[:n])
+
+
+def test_frontier_work_distribution_scales(rng):
+    """The frontier queue machinery's load-balance claim: total processed
+    nodes are split across shards (not replicated), the split covers the
+    whole tree exactly once, and no shard is pathologically hot on a
+    random read-scale input — the measurable half of the ~1/n_dev
+    scaling model (docs/PERF.md)."""
+    from ebwt2indel_tpu.parallel import frontier
+
+    codes = random_codes(rng, 120000, p_term=0.01)
+    pb = packing.pack_codes(codes)
+    K, k_right = 5, 8
+    totals = {}
+    for n_dev in (2, 8):
+        mesh = shard.make_mesh(n_dev)
+        *_, stats, work = frontier.navigate_nodes_frontier(pb, mesh, K,
+                                                           k_right)
+        assert work.shape == (n_dev,)
+        assert int(work.sum()) == int(stats[0])  # exact cover, no overlap
+        totals[n_dev] = int(stats[0])
+        # processed counts include chunk padding rounding; allow slack
+        assert int(work.max()) <= max(
+            2 * int(stats[0]) // n_dev, int(stats[0]) // n_dev + 8192
+        ), f"hot shard at n_dev={n_dev}: {work.tolist()}"
+    # total tree work is independent of mesh size (no replication)
+    assert totals[2] == totals[8]
