@@ -182,7 +182,36 @@ def bench_mode(mode: int, paths, n_positions: int, ref: str | None) -> dict:
     }
 
 
+def _wait_for_backend(max_tries: int = 6, sleep_s: int = 120) -> bool:
+    """The remote TPU service is occasionally unavailable; a failed backend
+    init poisons the process, so probe it in a SUBPROCESS with retries
+    before importing jax here. Returns False if it never comes up."""
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"[bench] backend probe {i + 1}/{max_tries} failed; "
+            f"retrying in {sleep_s}s")
+        time.sleep(sleep_s)
+    return False
+
+
 def main() -> int:
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _wait_for_backend():
+        # run on CPU rather than crash: a slower but valid bench line
+        log("[bench] TPU backend unavailable; falling back to CPU")
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
+
     import jax
 
     log(f"[bench] jax backend: {jax.default_backend()} "
