@@ -76,6 +76,15 @@ def _compact_budget(C: int) -> int | None:
     return C if _SLICED else None
 
 
+# wavefront ramp: the first ~10 traversal levels have tiny frontiers but a
+# fixed-shape chunk pays full per-iteration cost regardless of count. A
+# prelude while_loop with a small chunk (same compiled program, same queue
+# buffer) processes the ramp, handing off to the big-chunk loop once the
+# pending frontier is large enough to utilize it (or after a bounded amount
+# of work, so mid-size phases don't crawl at ramp granularity). 0 disables.
+_RAMP = int(_os.environ.get("EBWT_RAMP", 4096))
+
+
 def _dedup_budget(n_queries: int) -> int:
     return max(8, int(n_queries * _DEDUP_FRAC))
 
@@ -717,49 +726,70 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
         _, head, tail, overflow, _, _, _ = state
         return (head < tail) & ~overflow
 
-    def step(state):
-        q, head, tail, overflow, flags, stats, maxp = state
-        # reclaim consumed queue space: when the next append could overrun
-        # the buffer, shift the pending region [head, tail) back to offset 0
-        # (amortized O(chunk) per step — triggered every ~cap/chunk steps)
-        need = (tail + 4 * chunk) > q.shape[0]
-        q = jax.lax.cond(
-            need, lambda a, h: jnp.roll(a, -h, axis=0),
-            lambda a, h: a, q, head
-        )
-        tail = jnp.where(need, tail - head, tail)
-        head = jnp.where(need, 0, head)
-        # true overflow: the pending region alone can't fit — restart bigger
-        overflow = (tail + 4 * chunk) > q.shape[0]
-
-        count = jnp.minimum(tail - head, chunk)
-        block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)), (chunk, w))
-        children, n_out, flags, stats = body(
-            *fms, block, count, flags, stats, K=K, k_right=k_right
-        )
-        # contiguous append: the compacted children buffer is zero-padded
-        # beyond n_out; those pad rows land in [tail+n_out, tail+4C) and are
-        # fully overwritten by the next append (which starts at tail+n_out),
-        # and head never crosses tail — so no pad row is ever processed.
-        # A contiguous dynamic_update_slice keeps the queue update a block
-        # copy instead of a 4C-row scatter. On overflow the write clobbers
-        # the clamped tail region, but the whole phase restarts anyway.
-        q = jax.lax.dynamic_update_slice(q, children, (tail, jnp.int32(0)))
-        head = head + count
-        tail = tail + n_out
-        maxp = jnp.maximum(maxp, tail - head)
-        if _PROGRESS:
-            jax.debug.print(
-                "[progress] processed {p} items, {w} pending",
-                p=stats[0], w=tail - head, ordered=False,
+    def make_step(C: int):
+        def step(state):
+            q, head, tail, overflow, flags, stats, maxp = state
+            # reclaim consumed queue space: when the next append could
+            # overrun the buffer, shift the pending region [head, tail)
+            # back to offset 0 (amortized O(C) per step)
+            need = (tail + 4 * C) > q.shape[0]
+            q = jax.lax.cond(
+                need, lambda a, h: jnp.roll(a, -h, axis=0),
+                lambda a, h: a, q, head
             )
-        return q, head, tail, overflow, flags, stats, maxp
+            tail = jnp.where(need, tail - head, tail)
+            head = jnp.where(need, 0, head)
+            # true overflow: pending alone can't fit — restart bigger
+            overflow = (tail + 4 * C) > q.shape[0]
+
+            count = jnp.minimum(tail - head, C)
+            block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)), (C, w))
+            children, n_out, flags, stats = body(
+                *fms, block, count, flags, stats, K=K, k_right=k_right
+            )
+            # contiguous append: the compacted children buffer is
+            # garbage-padded beyond n_out; those pad rows land in
+            # [tail+n_out, tail+4C) and are fully overwritten by the next
+            # append (which starts at tail+n_out), and head never crosses
+            # tail — so no pad row is ever processed. A contiguous
+            # dynamic_update_slice keeps the queue update a block copy
+            # instead of a 4C-row scatter. On overflow the write clobbers
+            # the clamped tail region, but the whole phase restarts anyway.
+            q = jax.lax.dynamic_update_slice(q, children,
+                                             (tail, jnp.int32(0)))
+            head = head + count
+            tail = tail + n_out
+            maxp = jnp.maximum(maxp, tail - head)
+            if _PROGRESS:
+                jax.debug.print(
+                    "[progress] processed {p} items, {w} pending",
+                    p=stats[0], w=tail - head, ordered=False,
+                )
+            return q, head, tail, overflow, flags, stats, maxp
+
+        return step
 
     stats0 = (jnp.int32(0),) * 4
     state = (q, jnp.int32(0), jnp.int32(init.shape[0]), jnp.bool_(False),
              flags, stats0, jnp.int32(init.shape[0]))
+
+    if _RAMP and chunk > 4 * _RAMP:
+        # ramp loop (same program, same queue): hand off to the big-chunk
+        # loop once the frontier can utilize it, or after a bounded amount
+        # of work so mid-size phases don't crawl at ramp granularity
+        ramp_limit = min(chunk, 16 * _RAMP)
+        ramp_work = 32 * _RAMP
+
+        def rcond(state):
+            _, head, tail, overflow, _, stats, _ = state
+            return ((head < tail) & ~overflow
+                    & ((tail - head) <= ramp_limit)
+                    & (stats[0] < ramp_work))
+
+        state = jax.lax.while_loop(rcond, make_step(_RAMP), state)
+
     q, head, tail, overflow, flags, stats, maxp = jax.lax.while_loop(
-        cond, step, state
+        cond, make_step(chunk), state
     )
     return flags, jnp.stack(stats), overflow, maxp
 

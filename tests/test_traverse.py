@@ -228,3 +228,34 @@ def test_compact_sliced_prefix(budget):
         c = int(n_got)
         np.testing.assert_array_equal(np.asarray(got)[:c],
                                       np.asarray(want)[:c])
+
+
+def test_ramp_loop_equivalence(rng, monkeypatch):
+    """The small-chunk ramp prelude must not change any flag or count
+    (writes are order-free; chunking is an execution detail)."""
+    from ebwt2indel_tpu.models import traverse as T
+
+    genome = "".join(rng.choice(list("ACGT"), size=300))
+    reads = oracle.random_reads(rng, 25, 30, mutate_from=genome)
+    reads2 = oracle.random_reads(rng, 20, 30, mutate_from=genome)
+    fm, _ = build_fm(reads)
+    fm2, _ = build_fm(reads2)
+
+    on1 = traverse.navigate_one_bwt(fm, 5, 8)
+    on2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
+    monkeypatch.setattr(T, "_RAMP", 0)
+    T._queue_phase.clear_cache()  # _RAMP is baked in at trace time
+    off1 = traverse.navigate_one_bwt(fm, 5, 8)
+    off2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
+    T._queue_phase.clear_cache()
+    for a, b in ((on1, off1), (on2, off2)):
+        np.testing.assert_array_equal(np.asarray(a.thr_K),
+                                      np.asarray(b.thr_K))
+        np.testing.assert_array_equal(np.asarray(a.thr_R),
+                                      np.asarray(b.thr_R))
+        np.testing.assert_array_equal(np.asarray(a.minima),
+                                      np.asarray(b.minima))
+        assert a.stats["leaves"] == b.stats["leaves"]
+        assert a.stats["nodes"] == b.stats["nodes"]
+        assert a.stats["lcp_values"] == b.stats["lcp_values"]
+    np.testing.assert_array_equal(np.asarray(on2.da), np.asarray(off2.da))
