@@ -227,8 +227,16 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWTs ... ")
     tmark_idx = _timing_marker()
-    fm1 = FMIndex.from_file(cfg.input1, cfg.term)
-    fm2 = FMIndex.from_file(cfg.input2, cfg.term)
+    # the two index builds overlap: the native pack of one rides the
+    # host->device upload of the other (packer and device dispatch are
+    # thread-safe; error precedence matches the reference — a bad input1
+    # raises in the main thread first, cpp:1750-1758)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f2 = ex.submit(FMIndex.from_file, cfg.input2, cfg.term)
+        fm1 = FMIndex.from_file(cfg.input1, cfg.term)
+        fm2 = f2.result()
     jax.block_until_ready(fm2.blocks)
     tmark_idx("index pack+upload")
     log("done.")
@@ -390,6 +398,26 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     log("Phase 1/4: loading and indexing eBWT ... ")
     tmark_idx = _timing_marker()
     raw = np.fromfile(cfg.input1, dtype=np.uint8)
+    # the DA-side work (DA read, TERM-masked second index pack+upload,
+    # rank-1 bitvector) is independent of navigation — build it in a
+    # worker thread so it hides entirely behind phases 2-3
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _da_side():
+        da = packing.read_da_file(cfg.input_da, raw.size)
+        # rank structure over the DA=1 side: replace DA=0 characters with
+        # TERM so per-individual counts come from two rank diffs
+        # (SURVEY.md §7 layer 5); masking happens in ASCII space so the
+        # native packer handles both indexes
+        raw_da1 = np.where(da != 0, raw, np.uint8(cfg.term))
+        fm_da1 = FMIndex.from_packed(packing.pack_bytes(raw_da1, cfg.term))
+        # upload the DA as the packed rank-1 structure (n/8 + n/32 bytes)
+        # instead of n raw bytes — no O(n) transfer, no host cumsum
+        w_h, c_h = packing.pack_bitvector(da)
+        return fm_da1, (jnp.asarray(w_h), jnp.asarray(c_h))
+
+    ex = ThreadPoolExecutor(1)
+    da_fut = ex.submit(_da_side)
     fm = FMIndex.from_packed(packing.pack_bytes(raw, cfg.term))
     jax.block_until_ready(fm.blocks)
     tmark_idx("index pack+upload")
@@ -405,18 +433,9 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     log(f"Output events will be stored in {cfg.output}")
 
     tmark_idx2 = _timing_marker()
-    da = packing.read_da_file(cfg.input_da, fm.n)
-    # rank structure over the DA=1 side: replace DA=0 characters with TERM so
-    # per-individual counts come from two rank diffs (SURVEY.md §7 layer 5);
-    # masking happens in ASCII space so the native packer handles both
-    # indexes (the numpy pack path costs seconds at genome scale)
-    raw_da1 = np.where(da != 0, raw, np.uint8(cfg.term))
-    fm_da1 = FMIndex.from_packed(packing.pack_bytes(raw_da1, cfg.term))
-    tmark_idx2("DA load + masked index pack+upload")
-    # upload the DA as the packed rank-1 structure (n/8 + n/32 bytes)
-    # instead of n raw bytes — no O(n) transfer, no host cumsum
-    w_h, c_h = packing.pack_bitvector(da)
-    da_bv = (jnp.asarray(w_h), jnp.asarray(c_h))
+    fm_da1, da_bv = da_fut.result()
+    ex.shutdown()
+    tmark_idx2("DA-side index (overlapped with navigation) wait")
 
     next_thr = call.next_set_table(res.thr_R)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
