@@ -172,8 +172,16 @@ def _call_and_emit_single_sharded(sfm: shard.ShardedFM, cl, next_thr,
 def run_two_datasets_sharded(cfg: Config, mesh, log=_log) -> dict:
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWTs ... ")
-    sfm1 = shard.shard_fm(packing.pack_file(cfg.input1, cfg.term), mesh)
-    sfm2 = shard.shard_fm(packing.pack_file(cfg.input2, cfg.term), mesh)
+    # overlapped pack+shard-upload of the two indexes (cf. the
+    # single-device pipeline; packer and device dispatch are thread-safe)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f2 = ex.submit(
+            lambda: shard.shard_fm(packing.pack_file(cfg.input2, cfg.term),
+                                   mesh))
+        sfm1 = shard.shard_fm(packing.pack_file(cfg.input1, cfg.term), mesh)
+        sfm2 = f2.result()
     log("done.")
 
     log(f"\nPhase 2-3/4: merged suffix-tree wavefront navigation "
@@ -311,6 +319,22 @@ def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWT ... ")
     codes = packing.read_ebwt_codes(cfg.input1, cfg.term)
+
+    # DA-side work (DA read + TERM-masked second sharded index) is
+    # independent of navigation — build it in a worker so it hides behind
+    # phases 2-3 (cf. the single-device pipeline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _da_side():
+        da_h = packing.read_da_file(cfg.input_da, codes.shape[0])
+        # rank structure over the DA=1 side: DA=0 characters replaced by
+        # TERM (SURVEY.md §7 layer 5) — a second sharded index
+        codes_da1 = np.where(da_h != 0, codes, np.uint8(dna.TERM_CODE))
+        return da_h, shard.shard_fm(packing.pack_codes(codes_da1, cfg.term),
+                                    mesh)
+
+    _ex = ThreadPoolExecutor(1)
+    da_fut = _ex.submit(_da_side)
     pb = packing.pack_codes(codes, cfg.term)
     sfm = shard.shard_fm(pb, mesh)
     log("done.")
@@ -327,11 +351,7 @@ def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    da_h = packing.read_da_file(cfg.input_da, pb.n)
-    # rank structure over the DA=1 side: DA=0 characters replaced by TERM
-    # (SURVEY.md §7 layer 5) — a second sharded index
-    codes_da1 = np.where(da_h != 0, codes, np.uint8(dna.TERM_CODE))
-    sfm_da1 = shard.shard_fm(packing.pack_codes(codes_da1, cfg.term), mesh)
+    da_h, sfm_da1 = da_fut.result()
     pad_n = local_n * mesh.devices.size
     da_pad = np.zeros(pad_n, bool)
     da_pad[: pb.n] = da_h != 0
