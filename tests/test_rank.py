@@ -295,3 +295,20 @@ def test_sparse_term_upload_matches_dense_blocks(rng):
     )
     np.testing.assert_array_equal(np.asarray(blocks), pb.blocks)
     np.testing.assert_array_equal(np.asarray(cum), pb.block_counts)
+
+
+def test_lean_upload_levels_identical(rng, monkeypatch):
+    """EBWT_LEAN_UPLOAD 0 (full blocks) / 1 (3 planes) / 2 (2 planes +
+    sparse TERM) must produce bit-identical device indexes."""
+    from ebwt2indel_tpu.models import fm_index
+
+    codes = random_codes(rng, 30000, p_term=0.01)
+    pb = packing.pack_codes(codes)
+    got = {}
+    for level in ("0", "1", "2"):
+        monkeypatch.setenv("EBWT_LEAN_UPLOAD", level)
+        fm = fm_index.FMIndex.from_packed(pb)
+        got[level] = (np.asarray(fm.blocks), np.asarray(fm.block_counts))
+    for level in ("1", "2"):
+        np.testing.assert_array_equal(got[level][0], got["0"][0])
+        np.testing.assert_array_equal(got[level][1], got["0"][1])
