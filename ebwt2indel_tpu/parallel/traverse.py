@@ -110,7 +110,7 @@ def _sharded_node_phase(mesh, blocks, F, init, nf, *, rows_per_shard,
                 (ext[..., 1:6] > ext[..., 0:5]).astype(jnp.int32), axis=-1
             )
             keep = (valid[:, None] & (nch >= 2)).reshape(-1)
-            out, n_out = t1._compact(ext.reshape(-1, w), keep)
+            out, n_out = t1._compact(ext.reshape(-1, w), keep, budget=chunk)
             q = jax.lax.dynamic_update_slice(q, out, (tail, jnp.int32(0)))
             head = head + count
             tail = tail + n_out
@@ -221,11 +221,9 @@ def _sharded_leaf_phase(mesh, blocks, F, init, dif, *, rows_per_shard,
             hi4 = F_rep + ranks[:, 1]
             child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
             children = jnp.stack([lo4, hi4, child_depth], axis=-1)
-            keep = (valid[:, None] & ((hi4 - lo4) >= 2))
-            out, n_out = t1._compact(
-                jnp.swapaxes(children, 0, 1).reshape(chunk * 4, w),
-                jnp.swapaxes(keep, 0, 1).reshape(chunk * 4),
-            )
+            keep = valid[:, None] & ((hi4 - lo4) >= 2)
+            out, n_out = t1._compact_cm(children.reshape(chunk * 4, w),
+                                        keep, budget=chunk)
             q = jax.lax.dynamic_update_slice(q, out, (tail, jnp.int32(0)))
             head = head + count
             tail = tail + n_out
@@ -415,7 +413,8 @@ def _sharded_leaf_pair_phase(mesh, blocks1, blocks2, F1, F2, init, dif, *,
             children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
             combined = (hi1 - lo1) + (hi2 - lo2)
             keep = (valid[:, None] & (combined >= 2)).reshape(chunk * 4)
-            out, n_out = t1._compact(children.reshape(chunk * 4, w), keep)
+            out, n_out = t1._compact(children.reshape(chunk * 4, w), keep,
+                                     budget=chunk)
             q = jax.lax.dynamic_update_slice(q, out, (tail, jnp.int32(0)))
             head = head + count
             tail = tail + n_out
@@ -534,7 +533,8 @@ def _sharded_node_pair_phase(mesh, blocks1, blocks2, F1, F2, init, nf, *,
                                            ext1[..., :1].shape)
             children = jnp.concatenate([ext1, ext2, child_depth], axis=-1)
             keep = (valid[:, None] & (n_union >= 2)).reshape(chunk * 4)
-            out, n_out = t1._compact(children.reshape(chunk * 4, w), keep)
+            out, n_out = t1._compact(children.reshape(chunk * 4, w), keep,
+                                     budget=chunk)
             q = jax.lax.dynamic_update_slice(q, out, (tail, jnp.int32(0)))
             head = head + count
             tail = tail + n_out
