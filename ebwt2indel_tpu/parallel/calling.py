@@ -20,7 +20,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..models import call
 from . import shard
-from .shard import AXIS, ShardedFM
+from .shard import AXIS
 
 
 @partial(jax.jit, static_argnames=("mesh", "rows"))

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import call as mcall
 from ..models import emit, emit_vec
 from ..models import pipeline as mpipe
 from ..ops import bits, packing
