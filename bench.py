@@ -182,10 +182,15 @@ def bench_mode(mode: int, paths, n_positions: int, ref: str | None) -> dict:
     }
 
 
-def _wait_for_backend(max_tries: int = 6, sleep_s: int = 120) -> bool:
+def _wait_for_backend(max_tries: int | None = None,
+                      sleep_s: int | None = None) -> bool:
     """The remote TPU service is occasionally unavailable; a failed backend
     init poisons the process, so probe it in a SUBPROCESS with retries
     before importing jax here. Returns False if it never comes up."""
+    if max_tries is None:
+        max_tries = int(os.environ.get("BENCH_PROBE_TRIES", 6))
+    if sleep_s is None:
+        sleep_s = int(os.environ.get("BENCH_PROBE_SLEEP", 120))
     for i in range(max_tries):
         try:
             r = subprocess.run(
@@ -204,11 +209,16 @@ def _wait_for_backend(max_tries: int = 6, sleep_s: int = 120) -> bool:
 
 def main() -> int:
     if os.environ.get("PALLAS_AXON_POOL_IPS") and not _wait_for_backend():
-        # run on CPU rather than crash: a slower but valid bench line
-        log("[bench] TPU backend unavailable; falling back to CPU")
+        # run on CPU rather than crash: a slower but valid, still
+        # parity-gated bench line. Bound the work (mode 1, ~15M positions
+        # unless explicitly configured) so the fallback finishes in minutes.
+        log("[bench] TPU backend unavailable; falling back to CPU "
+            "(mode 1, reduced scale)")
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
+        env.setdefault("BENCH_MODES", "1")
+        env.setdefault("BENCH_GENOME_LEN", "600000")
         os.execve(sys.executable,
                   [sys.executable, os.path.abspath(__file__)], env)
 
