@@ -17,12 +17,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import bits, packing, rank
-from ..utils import dna
+from ..utils import compile_cache, dna
 from ..utils.config import Config
 from . import call, cluster, emit, emit_vec, traverse
 from .fm_index import FMIndex
 
 MAX_CLUST_LEN = cluster.MAX_CLUST_LEN
+
+compile_cache.enable()
 
 
 def _log(msg: str, file=None):
