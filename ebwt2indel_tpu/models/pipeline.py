@@ -24,8 +24,6 @@ from .fm_index import FMIndex
 
 MAX_CLUST_LEN = cluster.MAX_CLUST_LEN
 
-compile_cache.enable()
-
 
 def _log(msg: str, file=None):
     print(msg, file=file or sys.stdout, flush=True)
@@ -103,6 +101,7 @@ def _ctx_str(ascii_arr: np.ndarray) -> str:
 
 @_profiled
 def run_one_dataset(cfg: Config, log=_log) -> dict:
+    compile_cache.enable()
     cfg = cfg.resolved()
     t0 = time.perf_counter()
     log("Phase 1/4: loading and indexing eBWT ... ")
@@ -226,6 +225,7 @@ def _call_and_emit_single(fm: FMIndex, cl: cluster.Clusters,
 
 @_profiled
 def run_two_datasets(cfg: Config, log=_log) -> dict:
+    compile_cache.enable()
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWTs ... ")
     tmark_idx = _timing_marker()
@@ -396,6 +396,7 @@ def _emit_pair_clusters(writer, cfg, B, found, quirk0, quirk1,
 
 @_profiled
 def run_two_datasets_da(cfg: Config, log=_log) -> dict:
+    compile_cache.enable()
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWT ... ")
     tmark_idx = _timing_marker()

@@ -21,6 +21,7 @@ import numpy as np
 from ..models import emit, emit_vec
 from ..models import pipeline as mpipe
 from ..ops import bits, packing
+from ..utils import compile_cache
 from ..utils.config import Config
 from . import calling, shard
 from . import traverse as ptraverse
@@ -44,6 +45,7 @@ def _nav_one(sfm, K, k_right):
 
 
 def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
+    compile_cache.enable()
     cfg = cfg.resolved()
     t0 = time.perf_counter()
     log("Phase 1/4: loading and indexing eBWT ... ")
@@ -169,6 +171,7 @@ def _call_and_emit_single_sharded(sfm: shard.ShardedFM, cl, next_thr,
 
 
 def run_two_datasets_sharded(cfg: Config, mesh, log=_log) -> dict:
+    compile_cache.enable()
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWTs ... ")
     # overlapped pack+shard-upload of the two indexes (cf. the
@@ -313,6 +316,7 @@ def _call_and_emit_pair_mode2_sharded(sfm1, sfm2, cl, next_thr, da_pack,
 
 
 def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
+    compile_cache.enable()
     from ..utils import dna
 
     cfg = cfg.resolved()

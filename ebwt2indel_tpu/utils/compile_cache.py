@@ -6,8 +6,15 @@ shape family; on the remote-tunnel TPU backend a cold mode-1 compile costs
 processes (measured 12.4 s -> 0.3 s for a probe program on this backend),
 so it is enabled by default for every pipeline entry point.
 
-Knob: ``EBWT_COMPILE_CACHE`` — a directory path, ``0``/empty to disable,
-unset for the default ``~/.cache/ebwt2indel_tpu/xla``.
+Knob: ``EBWT_COMPILE_CACHE`` — a directory path; set to ``0`` or the empty
+string to disable; unset for the default ``~/.cache/ebwt2indel_tpu/xla``.
+The cache has no size bound or eviction (see docs/KNOBS.md for the
+tradeoff); delete the directory to reclaim space.
+
+``enable()`` is called from the entry points (cli.main, the pipeline
+run_* functions, bench) rather than at import time, so importing the
+package never mutates global jax config and a library consumer can set
+``EBWT_COMPILE_CACHE`` (or jax's own cache config) before the first run.
 """
 
 from __future__ import annotations
@@ -24,7 +31,7 @@ def enable() -> None:
         return
     _DONE = True
     val = os.environ.get("EBWT_COMPILE_CACHE")
-    if val == "0":
+    if "EBWT_COMPILE_CACHE" in os.environ and val in ("", "0"):
         return
     cache_dir = val or os.path.join(
         os.path.expanduser("~"), ".cache", "ebwt2indel_tpu", "xla"

@@ -174,6 +174,7 @@ def test_mode1_q_filter_triallelic(tmp_path, rng):
 
 
 @needs_ref
+@pytest.mark.slow
 @pytest.mark.parametrize("seed,extra", [
     (11, []),
     (23, ["-m", "3", "-q", "2"]),
@@ -181,9 +182,7 @@ def test_mode1_q_filter_triallelic(tmp_path, rng):
 def test_mode1_randomized_differential_mid_scale(tmp_path, seed, extra):
     """Mid-size (~1.2 Mb BWT) randomized differential run: catches
     cluster-boundary / queue-overflow edge cases the 5 kb fixtures can't
-    reach. Gated behind EBWT_SLOW_TESTS=1 (~2 min each on CPU)."""
-    if not os.environ.get("EBWT_SLOW_TESTS"):
-        pytest.skip("set EBWT_SLOW_TESTS=1 to run mid-scale differential")
+    reach. Runs by default (marked slow; deselect with -m 'not slow')."""
     rng = np.random.default_rng(seed)
     path, _ = make_dataset(str(tmp_path), rng, genome_len=100_000,
                            coverage=12, read_len=100)
@@ -192,6 +191,56 @@ def test_mode1_randomized_differential_mid_scale(tmp_path, seed, extra):
     run_reference(["-1", path, "-o", ref_out] + extra)
     cfg = apply_flags(Config(input1=path, output=got_out), extra)
     pipeline.run_one_dataset(cfg, log=lambda *a, **k: None)
+    assert open(got_out, "rb").read() == open(ref_out, "rb").read()
+    assert os.path.getsize(ref_out) > 0
+
+
+def _make_pair_inputs_mid(tmp_path, seed, genome_len=60_000):
+    rng = np.random.default_rng(seed)
+    genome = simulate.random_genome(rng, genome_len)
+    hap2, _ = simulate.plant_variants(rng, genome, snp_rate=0.002,
+                                      indel_rate=0.0005)
+    reads1 = simulate.sample_reads(rng, genome, 8, 100)
+    reads2 = simulate.sample_reads(rng, hap2, 8, 100)
+    return reads1, reads2
+
+
+@needs_ref
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,extra", [(37, []), (41, ["-m", "2"])])
+def test_mode2_randomized_differential_mid_scale(tmp_path, seed, extra):
+    """Mid-size (~1 Mb merged) mode-2 differential: exercises the lockstep
+    pair queues / size-1 leaf recovery / tri-lane deltas at depths and
+    frontier sizes the 5 kb fixtures can't reach."""
+    reads1, reads2 = _make_pair_inputs_mid(tmp_path, seed)
+    p1 = str(tmp_path / "a.ebwt")
+    p2 = str(tmp_path / "b.ebwt")
+    open(p1, "w").write(ebwt.ebwt_of_reads(reads1))
+    open(p2, "w").write(ebwt.ebwt_of_reads(reads2))
+    ref_out = str(tmp_path / "ref.snp")
+    got_out = str(tmp_path / "got.snp")
+    run_reference(["-1", p1, "-2", p2, "-o", ref_out] + extra)
+    cfg = apply_flags(Config(input1=p1, input2=p2, output=got_out), extra)
+    pipeline.run_two_datasets(cfg, log=lambda *a, **k: None)
+    assert open(got_out, "rb").read() == open(ref_out, "rb").read()
+    assert os.path.getsize(ref_out) > 0
+
+
+@needs_ref
+@pytest.mark.slow
+def test_mode3_randomized_differential_mid_scale(tmp_path):
+    """Mid-size mode-3 differential (merged BWT + DA)."""
+    reads1, reads2 = _make_pair_inputs_mid(tmp_path, 53)
+    bwt, da = ebwt.ebwt_and_da_of_two(reads1, reads2)
+    p = str(tmp_path / "merged.ebwt")
+    pda = str(tmp_path / "merged.da")
+    open(p, "w").write(bwt)
+    open(pda, "w").write(da)
+    ref_out = str(tmp_path / "ref.snp")
+    got_out = str(tmp_path / "got.snp")
+    run_reference(["-1", p, "-d", pda, "-o", ref_out])
+    cfg = Config(input1=p, input_da=pda, output=got_out)
+    pipeline.run_two_datasets_da(cfg, log=lambda *a, **k: None)
     assert open(got_out, "rb").read() == open(ref_out, "rb").read()
     assert os.path.getsize(ref_out) > 0
 
