@@ -46,18 +46,19 @@ def _load():
 
 
 def pack_bytes(data: np.ndarray, term: int = dna.DEFAULT_TERM,
-               n_threads: int = 0):
+               n_threads: int = 0, check_cap: bool = True):
     """Pack raw ASCII bytes; returns a PackedBwt. Raises ValueError with the
-    reference's message on forbidden characters (dna_string.hpp:90-96)."""
+    reference's message on forbidden characters (dna_string.hpp:90-96).
+    check_cap=False skips the single-run coordinate-space cap (range
+    packing of a larger sharded input)."""
     from . import packing
 
     lib = _load()
-    data = np.ascontiguousarray(data, dtype=np.uint8)
+    if data.dtype != np.uint8 or not data.flags.c_contiguous:
+        data = np.ascontiguousarray(data, dtype=np.uint8)
     n = int(data.shape[0])
-    if n >= 2**31:
-        raise ValueError(
-            "single-shard input exceeds 2^31 characters; use the sharded loader"
-        )
+    if check_cap and n >= 2**31:
+        raise ValueError(packing.CAP_MESSAGE)
     n_blocks = n // 128 + 1
     blocks = np.zeros((n_blocks, 16), dtype=np.uint32)
     block_counts = np.zeros((n_blocks, 4), dtype=np.int32)
@@ -89,7 +90,10 @@ def pack_bytes(data: np.ndarray, term: int = dna.DEFAULT_TERM,
 
 
 def pack_file(path: str, term: int = dna.DEFAULT_TERM):
-    data = np.fromfile(path, dtype=np.uint8)
+    # memmap, not fromfile: the multithreaded packer streams the pages in
+    # and the raw ASCII never needs a second in-RAM copy (matters at the
+    # multi-GB scale of BASELINE config 5)
+    data = np.memmap(path, dtype=np.uint8, mode="r")
     return pack_bytes(data, term)
 
 

@@ -51,14 +51,21 @@ class PackedBwt:
     term: int = dna.DEFAULT_TERM
 
 
-def pack_codes(codes: np.ndarray, term: int = dna.DEFAULT_TERM) -> PackedBwt:
+CAP_MESSAGE = (
+    "input exceeds 2^31-1 characters — the int32 device coordinate space "
+    "of one run; process the input as independent context-sorted pieces "
+    "(ebwt2indel_tpu.tools.pebwt2indel, the reference's own scaling story, "
+    "pebwt2InDel.sh:49-83)"
+)
+
+
+def pack_codes(codes: np.ndarray, term: int = dna.DEFAULT_TERM,
+               check_cap: bool = True) -> PackedBwt:
     """Pack an array of 3-bit codes (A=0..T=3, TERM=4) into block rows."""
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = int(codes.shape[0])
-    if n >= 2**31:
-        raise ValueError(
-            "single-shard input exceeds 2^31 characters; use the sharded loader"
-        )
+    if check_cap and n >= 2**31:
+        raise ValueError(CAP_MESSAGE)
     # one extra block guarantees rank(n) addresses a valid row, mirroring the
     # reference's (n+1)-based block count (dna_string.hpp:61-62)
     n_blocks = n // BLOCK + 1
@@ -208,6 +215,111 @@ def pack_file_cached(path: str, term: int = dna.DEFAULT_TERM,
         except Exception:
             pass
     return pb
+
+
+# ---------------------------------------------------------------------------
+# sharded loader: block-row-aligned range packing for per-host input sharding
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ShardPack:
+    """One block-row range of a packed BWT, counters LOCAL to the range.
+
+    Produced by pack_file_range; assembled into globally-consistent shards
+    by adding the exclusive scan of per-shard totals (absolute counters are
+    uint32, valid for n < 2^32). This is the "sharded loader" of SURVEY.md
+    §2.5: each host packs only its own byte range of the input (the
+    reference's analogue is process-level input sharding,
+    pebwt2InDel.sh:49-83)."""
+
+    rows: np.ndarray  # (rows, 16) uint32; words 12..15 = in-range counters
+    row_counts: np.ndarray  # (rows, 4) int64 in-range exclusive counts
+    totals: np.ndarray  # (5,) int64 — A,C,G,T,TERM counts in the range
+    row_lo: int  # first global block row of this range
+    n_rows: int
+
+
+def shard_row_ranges(n: int, n_shards: int) -> list[tuple[int, int]]:
+    """Block-row ranges per shard, matching parallel.shard.shard_fm's split:
+    rows = ceil(n_blocks / n_shards) rows per shard over the global
+    n_blocks = n // BLOCK + 1 (the +1 row mirrors the reference's
+    (n+1)-based block count, dna_string.hpp:61-62). Returns [lo_row,
+    hi_row) per shard; trailing shards may be empty."""
+    n_blocks = n // BLOCK + 1
+    rows = -(-n_blocks // n_shards)
+    return [
+        (min(s * rows, n_blocks), min((s + 1) * rows, n_blocks))
+        for s in range(n_shards)
+    ]
+
+
+def pack_file_range(path: str, row_lo: int, row_hi: int, n: int,
+                    term: int = dna.DEFAULT_TERM) -> ShardPack:
+    """Pack global block rows [row_lo, row_hi) of an ASCII eBWT file —
+    characters [row_lo*BLOCK, min(row_hi*BLOCK, n)) — reading ONLY that
+    byte range (memmap; the OS pages in just the slice). Counters are
+    local to the range; alphabet errors carry the reference's message
+    with GLOBAL character positions."""
+    n_rows = row_hi - row_lo
+    if n_rows <= 0:
+        return ShardPack(
+            rows=np.zeros((0, 16), np.uint32),
+            row_counts=np.zeros((0, 4), np.int64),
+            totals=np.zeros(5, np.int64), row_lo=row_lo, n_rows=0,
+        )
+    lo_char = row_lo * BLOCK
+    hi_char = min(row_hi * BLOCK, n)
+    data = np.memmap(path, dtype=np.uint8, mode="r")[lo_char:hi_char]
+    return pack_bytes_range(data, row_lo, n_rows, term)
+
+
+def pack_bytes_range(data: np.ndarray, row_lo: int, n_rows: int,
+                     term: int = dna.DEFAULT_TERM) -> ShardPack:
+    """Pack a char range into exactly n_rows block rows (the final global
+    row is the reference's extra padding row — zero planes, counters =
+    totals — when the range ends at n)."""
+    try:
+        from . import native
+
+        pb = native.pack_bytes(np.asarray(data), term, check_cap=False)
+    except ValueError:
+        raise
+    except Exception:
+        pb = pack_codes(ascii_to_codes(np.asarray(data), term), term,
+                        check_cap=False)
+    # packing L chars yields L//BLOCK + 1 rows: exactly n_rows for the
+    # final shard (whose last row is the reference's (n+1)-padding row,
+    # dna_string.hpp:61-62), n_rows + 1 for interior block-aligned shards
+    # (drop the extra row — it belongs to the next shard)
+    assert pb.blocks.shape[0] >= n_rows
+    rows = pb.blocks[:n_rows]
+    row_counts = pb.block_counts[:n_rows].astype(np.int64)
+    return ShardPack(rows=np.ascontiguousarray(rows),
+                     row_counts=np.ascontiguousarray(row_counts),
+                     totals=pb.counts.astype(np.int64),
+                     row_lo=row_lo, n_rows=n_rows)
+
+
+def apply_shard_base(sp: ShardPack, base: np.ndarray) -> None:
+    """Make a ShardPack's counters absolute by adding ``base`` — the
+    exclusive scan of per-shard totals (int64 (4,)). In-place. Absolute
+    counters are stored as uint32 (exact for n < 2^32)."""
+    if sp.n_rows == 0:
+        return
+    sp.row_counts += base[None, :]
+    sp.rows[:, 12:16] = (sp.row_counts & 0xFFFFFFFF).astype(np.uint32)
+
+
+def f_from_totals(totals: np.ndarray) -> np.ndarray:
+    """F column boundaries from global (5,) char totals (dna_bwt.hpp:47-61):
+    TERM smallest, then A<C<G<T."""
+    F = np.empty(4, dtype=np.int64)
+    F[0] = totals[4]
+    F[1] = F[0] + totals[0]
+    F[2] = F[1] + totals[1]
+    F[3] = F[2] + totals[2]
+    return F
 
 
 def term_positions(pb: PackedBwt) -> np.ndarray:

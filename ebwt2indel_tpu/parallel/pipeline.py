@@ -49,11 +49,14 @@ def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
     cfg = cfg.resolved()
     t0 = time.perf_counter()
     log("Phase 1/4: loading and indexing eBWT ... ")
-    pb = packing.pack_file(cfg.input1, cfg.term)
-    sfm = shard.shard_fm(pb, mesh)
+    # sharded loader: this process packs only the byte ranges its devices
+    # own (per-host input sharding — no O(n) pack per process)
+    sfm = shard.shard_fm_from_file(cfg.input1, mesh, cfg.term)
     jax.block_until_ready(sfm.blocks)
     t1 = time.perf_counter()
     log(f"done. [{t1 - t0:.2f}s]")
+    log(f"[loader] process {jax.process_index()} packed "
+        f"{sfm.local_bytes}/{sfm.n} input bytes")
 
     log(f"\nPhase 2-3/4: suffix-tree wavefront navigation "
         f"({mesh.devices.size}-device mesh).")
@@ -64,7 +67,7 @@ def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
     st_l = np.asarray(st_l)
     st_n = np.asarray(st_n)
     lcp_values = 1 + int(st_l[1]) + int(st_n[1])
-    log(f"Computed {lcp_values}/{pb.n} LCP values.")
+    log(f"Computed {lcp_values}/{sfm.n} LCP values.")
     log(f"Found {int(st_n[2])} LCP minima.")
     log(f"Processed {int(st_l[0])} suffix-tree leaves and {int(st_n[0])} "
         f"nodes. [{t2 - t1:.2f}s]\n")
@@ -73,10 +76,10 @@ def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
     log(f"Output events will be stored in {cfg.output}")
 
     next_thr = calling.next_set_table_sharded(
-        mesh, thr_R, local_n=local_n, n=pb.n
+        mesh, thr_R, local_n=local_n, n=sfm.n
     )
     cl = calling.find_clusters_sharded(
-        mesh, thr_K, minima, local_n=local_n, n=pb.n, mcov_out=cfg.mcov_out
+        mesh, thr_K, minima, local_n=local_n, n=sfm.n, mcov_out=cfg.mcov_out
     )
     t4 = time.perf_counter()
     log(f"[timing] cluster detect (sharded) {t4 - t2:.2f}s")
@@ -178,12 +181,19 @@ def run_two_datasets_sharded(cfg: Config, mesh, log=_log) -> dict:
     # single-device pipeline; packer and device dispatch are thread-safe)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(2) as ex:
-        f2 = ex.submit(
-            lambda: shard.shard_fm(packing.pack_file(cfg.input2, cfg.term),
-                                   mesh))
-        sfm1 = shard.shard_fm(packing.pack_file(cfg.input1, cfg.term), mesh)
-        sfm2 = f2.result()
+    # each process packs only its own byte ranges (sharded loader)
+    if jax.process_count() > 1:
+        # the loader's totals-allgather is a collective — two concurrent
+        # threads could order the two collectives differently across
+        # processes, so multi-process builds run sequentially
+        sfm1 = shard.shard_fm_from_file(cfg.input1, mesh, cfg.term)
+        sfm2 = shard.shard_fm_from_file(cfg.input2, mesh, cfg.term)
+    else:
+        with ThreadPoolExecutor(2) as ex:
+            f2 = ex.submit(shard.shard_fm_from_file, cfg.input2, mesh,
+                           cfg.term)
+            sfm1 = shard.shard_fm_from_file(cfg.input1, mesh, cfg.term)
+            sfm2 = f2.result()
     log("done.")
 
     log(f"\nPhase 2-3/4: merged suffix-tree wavefront navigation "

@@ -38,3 +38,61 @@ def test_native_pack_da(tmp_path, rng):
     exp_words, exp_counts = packing.pack_bitvector(bits)
     np.testing.assert_array_equal(words, exp_words)
     np.testing.assert_array_equal(counts, exp_counts)
+
+
+def test_range_packing_assembles_to_full_pack(tmp_path, rng):
+    """pack_file_range over any shard split + exscanned bases reproduces
+    pack_file's blocks/counters bit-for-bit (the sharded loader's
+    correctness contract)."""
+    from ebwt2indel_tpu.ops import packing
+
+    for n in (5000, 128 * 7, 128 * 7 + 1, 300):
+        raw = rng.choice(
+            np.frombuffer(b"ACGT#", dtype=np.uint8), size=n
+        ).astype(np.uint8)
+        path = str(tmp_path / f"r{n}.ebwt")
+        raw.tofile(path)
+        full = packing.pack_file(path)
+        for n_shards in (1, 3, 8):
+            ranges = packing.shard_row_ranges(n, n_shards)
+            assert ranges[-1][1] == n // 128 + 1
+            base = np.zeros(4, np.int64)
+            rows_all, counts_all = [], []
+            for lo, hi in ranges:
+                sp = packing.pack_file_range(path, lo, hi, n)
+                tot = sp.totals[:4].copy()
+                packing.apply_shard_base(sp, base)
+                base += tot
+                rows_all.append(sp.rows)
+                counts_all.append(sp.row_counts)
+            rows = np.concatenate(rows_all)
+            counts = np.concatenate(counts_all)
+            np.testing.assert_array_equal(rows, full.blocks)
+            np.testing.assert_array_equal(counts, full.block_counts)
+            np.testing.assert_array_equal(base, full.counts[:4])
+
+
+def test_shard_fm_from_file_matches_shard_fm(tmp_path, rng):
+    """The per-range sharded loader builds device arrays identical to the
+    full-pack shard_fm path on the 8-device virtual mesh."""
+    from ebwt2indel_tpu.ops import packing
+    from ebwt2indel_tpu.parallel import shard
+
+    raw = rng.choice(
+        np.frombuffer(b"ACGT#", dtype=np.uint8), size=40_000
+    ).astype(np.uint8)
+    path = str(tmp_path / "r.ebwt")
+    raw.tofile(path)
+
+    mesh = shard.make_mesh(8)
+    ref = shard.shard_fm(packing.pack_file(path), mesh)
+    got = shard.shard_fm_from_file(path, mesh)
+    np.testing.assert_array_equal(np.asarray(got.blocks),
+                                  np.asarray(ref.blocks))
+    np.testing.assert_array_equal(np.asarray(got.block_counts),
+                                  np.asarray(ref.block_counts))
+    np.testing.assert_array_equal(np.asarray(got.F), np.asarray(ref.F))
+    np.testing.assert_array_equal(np.asarray(got.bounds),
+                                  np.asarray(ref.bounds))
+    assert got.rows == ref.rows and got.n == ref.n
+    assert got.local_bytes == 40_000  # single process packs everything

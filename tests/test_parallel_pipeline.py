@@ -139,6 +139,15 @@ def test_multihost_two_process_cli(tmp_path, rng):
     assert open(one, "rb").read() == open(mesh_out, "rb").read()
     # non-primary wrote its replica to the scratch path, identical content
     assert open(mesh_out + ".proc1", "rb").read() == open(one, "rb").read()
+    # sharded loader: each process packed only ~half the input bytes
+    import re
+
+    n_file = os.path.getsize(path)
+    for out, _ in outs:
+        m = re.search(r"\[loader\] process \d+ packed (\d+)/(\d+)", out)
+        assert m, f"loader line missing in:\n{out}"
+        assert int(m.group(2)) == n_file
+        assert int(m.group(1)) <= n_file // 2 + 4 * 128  # half + row slack
 
 
 def test_sharded_cli_switch(tmp_path, rng):
