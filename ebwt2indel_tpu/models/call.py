@@ -165,9 +165,67 @@ def next_set_table(thr_R_dev):
     return jax.lax.cummin(idx, reverse=True)
 
 
+def right_anchor_table(thr_R_dev):
+    """Right-context anchor structure, size-dispatched: the (n,) int32
+    cummin table below the lean threshold (one fused scan, fastest), or
+    the packed-bitvector + per-block next-set table above it — O(n/8 +
+    n/32) bytes instead of 4n (the cummin table alone is 4 GB at n=1G,
+    past the HBM envelope together with the flag vectors;
+    docs/PERF.md)."""
+    from . import traverse
+
+    if thr_R_dev.shape[0] < traverse._LEAN_N:
+        return next_set_table(thr_R_dev)
+    from ..ops import bits
+
+    words, _ = bits.bv_build(thr_R_dev)
+    return _anchor_from_words(words, n=thr_R_dev.shape[0])
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _anchor_from_words(words, *, n: int):
+    """(words, T): per-block next-set table T[b] = smallest set position
+    >= 128*b (n if none), T has nb+1 entries (T[nb] = n)."""
+    nb = words.shape[0]
+    low = words & (~words + jnp.uint32(1))  # lowest set bit per word
+    bitidx = jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
+    fiw = jnp.where(words != 0,
+                    bitidx + (jnp.arange(4, dtype=jnp.int32) * 32)[None, :],
+                    jnp.int32(1) << 30)
+    first = jnp.min(fiw, axis=1)  # (nb,) 0..127 or 2^30
+    blk_first = jnp.where(
+        first < (1 << 30),
+        jnp.arange(nb, dtype=jnp.int32) * 128 + first, jnp.int32(n),
+    )
+    T = jnp.minimum(jax.lax.cummin(blk_first, reverse=True), jnp.int32(n))
+    return words, jnp.concatenate([T, jnp.full(1, n, jnp.int32)])
+
+
 def first_thr_position_device(next_set, begins_dev, ends_dev):
     """Device variant of first_thr_position: returns (pos, found) device
-    arrays for the given cluster ranges."""
+    arrays for the given cluster ranges. Accepts either anchor structure
+    from right_anchor_table (the dense cummin table, or the packed
+    (words, T) pair — one word-row gather + in-block lowest-set-bit per
+    query, falling to T[b+1] when the rest of the block is empty)."""
+    if isinstance(next_set, tuple):
+        words, T = next_set
+        b = jax.lax.shift_right_logical(begins_dev, 7)
+        o = begins_dev & jnp.int32(127)
+        row = words[b]  # (B, 4)
+        w4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+        start = jnp.clip(o[:, None] - w4 * 32, 0, 32)
+        sh = jnp.minimum(start, 31).astype(jnp.uint32)
+        below = jnp.where(start == 32, jnp.uint32(0xFFFFFFFF),
+                          (jnp.uint32(1) << sh) - jnp.uint32(1))
+        m = row & ~below
+        low = m & (~m + jnp.uint32(1))
+        bitidx = jax.lax.population_count(
+            low - jnp.uint32(1)).astype(jnp.int32)
+        fiw = jnp.where(m != 0, bitidx + w4 * 32, jnp.int32(1) << 30)
+        off = jnp.min(fiw, axis=1)
+        pos = jnp.where(off < (1 << 30), b * 128 + off, T[b + 1])
+        found = pos < ends_dev
+        return jnp.where(found, pos, 0), found
     pos = next_set[begins_dev]
     found = pos < ends_dev
     return jnp.where(found, pos, 0), found

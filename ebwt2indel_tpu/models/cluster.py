@@ -171,18 +171,78 @@ def _extract_runs_select(is_start, end_at, n_ends, *, cap, mcov_out):
     return runs_to_clusters(starts, ends, n_ends, cap=cap, mcov_out=mcov_out)
 
 
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cap", "mcov_out"))
+def _extract_runs_sliced(is_start, end_at, n_ends, *, cap, mcov_out):
+    """Memory-lean _extract_runs: per-slice sorts + budget writes into the
+    cap buffers at running offsets, inside one lax.scan. The full-array
+    formulation sorts two (n,) int32 vectors — ~8.4 GB of sort workspace
+    each at n=1G, past the HBM envelope next to the flag vectors; here
+    peak extra memory is O(slice + cap). Writes use the queue-append
+    garbage-pad contract: each slice writes ceil(count/B)*B entries at
+    the running offset, later slices overwrite the pad, and entries past
+    the total count are masked downstream (closed = k < n_ends)."""
+    from .traverse import _LEAN_SLICE
+
+    n = is_start.shape[0]
+    L = _LEAN_SLICE
+    S = -(-n // L)
+    B = L // 16
+    INF = jnp.int32(n)
+    ms = jnp.zeros(S * L, jnp.uint8).at[:n].set(is_start.astype(jnp.uint8))
+    me = jnp.zeros(S * L, jnp.uint8).at[:n].set(end_at.astype(jnp.uint8))
+    sbuf = jnp.zeros(cap + L, jnp.int32)
+    ebuf = jnp.zeros(cap + L, jnp.int32)
+
+    def write(buf, keys, cnt, m):
+        def wcond(st):
+            return st[0] * B < m
+
+        def wstep(st):
+            it, bf = st
+            sl = jax.lax.dynamic_slice(keys, (it * B,), (B,))
+            bf = jax.lax.dynamic_update_slice(bf, sl, (cnt + it * B,))
+            return it + 1, bf
+
+        return jax.lax.while_loop(wcond, wstep, (jnp.int32(0), buf))[1]
+
+    def step(carry, xs):
+        cnt_s, cnt_e, sbuf, ebuf = carry
+        m_s, m_e, base = xs
+        pos = base + jnp.arange(L, dtype=jnp.int32)
+        key_s = jax.lax.sort(jnp.where(m_s != 0, pos, INF))
+        key_e = jax.lax.sort(jnp.where(m_e != 0, pos, INF))
+        c_s = jnp.sum((m_s != 0).astype(jnp.int32))
+        c_e = jnp.sum((m_e != 0).astype(jnp.int32))
+        sbuf = write(sbuf, key_s, cnt_s, c_s)
+        ebuf = write(ebuf, key_e, cnt_e, c_e)
+        return (cnt_s + c_s, cnt_e + c_e, sbuf, ebuf), 0
+
+    (n_s, _, sbuf, ebuf), _ = jax.lax.scan(
+        step, (jnp.int32(0), jnp.int32(0), sbuf, ebuf),
+        (ms.reshape(S, L), me.reshape(S, L),
+         jnp.arange(S, dtype=jnp.int32) * L),
+    )
+    return runs_to_clusters(sbuf[:cap], ebuf[:cap] + 1, n_ends, cap=cap,
+                            mcov_out=mcov_out)
+
+
 def find_clusters_device(thr_K_dev, minima_dev, mcov_out: int) -> Clusters:
     """Device-side equivalent of find_clusters: begins/ends stay on device
     (trimmed to the analyzed count); only scalar stats and the histogram are
     downloaded."""
     import os
 
+    from .traverse import _LEAN_N
+
     is_start, end_at, n_starts, n_ends = _run_marks(thr_K_dev, minima_dev)
     n_ends_i = int(n_ends)
     cap = _cap(max(int(n_starts), 1))
-    extract = (_extract_runs_select
-               if os.environ.get("EBWT_CLUSTER_EXTRACT") == "select"
-               else _extract_runs)
+    if os.environ.get("EBWT_CLUSTER_EXTRACT") == "select":
+        extract = _extract_runs_select
+    elif thr_K_dev.shape[0] >= _LEAN_N:
+        extract = _extract_runs_sliced
+    else:
+        extract = _extract_runs
     a_begins, a_ends, n_analyzed, hist, size_sum = extract(
         is_start, end_at, n_ends, cap=cap, mcov_out=mcov_out
     )

@@ -129,7 +129,7 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     # cluster detection and the right-context anchor table stay on device —
     # no O(n) flag transfer at all in mode 1
     tmark0 = _timing_marker()
-    next_thr = call.next_set_table(res.thr_R)
+    next_thr = call.right_anchor_table(res.thr_R)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
     t4 = time.perf_counter()
     tmark0("cluster detect (device)")
@@ -255,7 +255,7 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    next_thr = call.next_set_table(res.thr_R)
+    next_thr = call.right_anchor_table(res.thr_R)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
     # DA stays on device as a rank-ready packed bitvector — no O(n) host
     # transfer (the reference scans its vector<bool> DA, cpp:1431-1432)
@@ -440,7 +440,7 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     ex.shutdown()
     tmark_idx2("DA-side index (overlapped with navigation) wait")
 
-    next_thr = call.next_set_table(res.thr_R)
+    next_thr = call.right_anchor_table(res.thr_R)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
 
     stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da_bv, cfg)

@@ -270,7 +270,7 @@ def _flag_scatter_compact(nf, borders, vals):
 # ---------------------------------------------------------------------------
 
 
-def _leaf_children(fm, first, second, depth, valid):
+def _leaf_children(fm, first, second, depth, valid, append):
     """Shared leaf-extension tail: W# left-extensions with size >= 2
     (next_leaves, dna_bwt.hpp:358-379)."""
     C = first.shape[0]
@@ -287,11 +287,10 @@ def _leaf_children(fm, first, second, depth, valid):
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
     children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
     keep = valid[:, None] & ((hi4 - lo4) >= 2)
-    return _compact_cm(children.reshape(C * 4, 3), keep,
-                       budget=_compact_budget(C))
+    return append(children.reshape(C * 4, 3), keep, True)
 
 
-def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
+def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
     """Suffix-tree leaf step (phase 2), dual-lane packed deltas.
     chunk: (C,3) [first, second, depth].
 
@@ -323,7 +322,7 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     val = jnp.concatenate([v, -v])
     dif = dif.at[idx].add(val, mode="drop")
 
-    out, n_out = _leaf_children(fm, first, second, depth, valid)
+    out, n_out = _leaf_children(fm, first, second, depth, valid, append)
     stats = (
         stats[0] + count,  # leaves visited
         stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),  # lcp
@@ -333,7 +332,7 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     return out, n_out, (dif,), stats
 
 
-def _leaf_body_wide(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
+def _leaf_body_wide(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
     """Int32-per-field leaf step — the exact-for-any-depth fallback of
     _leaf_body (compiled lazily, only when max leaf depth >= 2^15 - 2)."""
     (dif,) = flags  # (2*(n+1),) int32: field 0 = K-diff, field 1 = R-diff
@@ -357,7 +356,7 @@ def _leaf_body_wide(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     ])
     dif = dif.at[idx].add(val, mode="drop")
 
-    out, n_out = _leaf_children(fm, first, second, depth, valid)
+    out, n_out = _leaf_children(fm, first, second, depth, valid, append)
     stats = (
         stats[0] + count,
         stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),
@@ -399,7 +398,7 @@ def _split_lanes3(dif):
     return netK, netR, netD
 
 
-def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
+def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
     """Internal-node step (phase 3): border LCP writes, minima marks, and
     Weiner-link extension (update_lcp_threshold include.hpp:826-860;
     update_lcp_minima ebwt2InDel.cpp:357-391; next_nodes dna_bwt.hpp:381-404).
@@ -450,15 +449,15 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right):
     # char-major compaction: children extending by the same character live in
     # the same F-region, so consecutive queue entries gather from nearby
     # block rows (better HBM locality); ordering is free (writes order-free)
-    out, n_out = _compact_cm(ext.reshape(C * 4, 7), keep,
-                             budget=_compact_budget(C))
+    out, n_out = append(ext.reshape(C * 4, 7), keep, True)
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3])
     return out, n_out, (nf,), stats
 
 
-def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid):
+def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid,
+                        append):
     """Shared leaf-pair extension tail: children kept iff combined size
     >= 2 (ebwt2InDel.cpp:452-472) — size-1 leaves recover in the node
     phase."""
@@ -477,12 +476,11 @@ def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid):
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
     children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
     combined = (hi1 - lo1) + (hi2 - lo2)
-    keep = (valid[:, None] & (combined >= 2)).reshape(C * 4)
-    return _compact(children.reshape(C * 4, 5), keep,
-                    budget=_compact_budget(C))
+    keep = valid[:, None] & (combined >= 2)
+    return append(children.reshape(C * 4, 5), keep, False)
 
 
-def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
+def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append):
     """Leaf-pair step for the lockstep two-BWT merge, dual-lane packed
     deltas (see _leaf_body). chunk: (C,5) [f1, s1, f2, s2, depth]. DA +
     merged LCP fills (update_DA, ebwt2InDel.cpp:394-425). dif layout
@@ -511,7 +509,8 @@ def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     val = jnp.concatenate([v, -v, one, -one])
     dif = dif.at[idx].add(val, mode="drop")
 
-    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid)
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
+                                     valid, append)
     stats = (
         stats[0] + count,
         stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
@@ -521,7 +520,7 @@ def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     return out, n_out, (dif,), stats
 
 
-def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
+def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append):
     """Tri-lane packed leaf-pair step — the production formulation.
 
     The scatter's per-entry cost tracks the TARGET array's size
@@ -554,7 +553,8 @@ def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     val = jnp.concatenate([v, d, -(v + d)])
     dif = dif.at[idx].add(val, mode="drop")
 
-    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid)
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
+                                     valid, append)
     stats = (
         stats[0] + count,
         stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
@@ -565,7 +565,7 @@ def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
 
 
 def _leaf_pair_body_wide(fm1, fm2, chunk, count, flags, stats, *, K,
-                         k_right):
+                         k_right, append):
     """Int32-per-field leaf-pair step — the any-depth fallback of
     _leaf_pair_body (compiled lazily). dif: (3*(n+1),) fields K, R, DA."""
     (dif,) = flags
@@ -592,7 +592,8 @@ def _leaf_pair_body_wide(fm1, fm2, chunk, count, flags, stats, *, K,
     val = jnp.concatenate([one, -one, one, -one, one, -one])
     dif = dif.at[idx].add(val, mode="drop")
 
-    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid)
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
+                                     valid, append)
     stats = (
         stats[0] + count,
         stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
@@ -602,7 +603,7 @@ def _leaf_pair_body_wide(fm1, fm2, chunk, count, flags, stats, *, K,
     return out, n_out, (dif,), stats
 
 
-def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
+def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append):
     """Node-pair step: size-1 leaf recovery (find_leaves,
     ebwt2InDel.cpp:474-527), merged-node LCP/minima updates
     (ebwt2InDel.cpp:792-802), pairwise Weiner extension keeping pairs with
@@ -675,9 +676,8 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right):
     children = jnp.concatenate(
         [ext1[..., :6], ext2[..., :6], ext1[..., 6:7]], axis=-1
     )
-    keep = (valid[:, None] & (n_union >= 2)).reshape(C * 4)
-    out, n_out = _compact(children.reshape(C * 4, 13), keep,
-                          budget=_compact_budget(C))
+    keep = valid[:, None] & (n_union >= 2)
+    out, n_out = append(children.reshape(C * 4, 13), keep, False)
 
     stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
              stats[3] + da_values)
@@ -696,9 +696,16 @@ def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
     x 4 bits per int32; 1=thr_K, 2=thr_R, 4=minima). The exposed
     single-dispatch 'forward step' of the flagship compute path (used by
     __graft_entry__)."""
+    def append(flat, keep, char_major):
+        if char_major:
+            return _compact_cm(flat, keep, budget=_compact_budget(
+                nodes.shape[0]))
+        return _compact(flat, keep.reshape(-1),
+                        budget=_compact_budget(nodes.shape[0]))
+
     out, n_out, (nf,), st = _node_body(
         fm, nodes, count, (node_flags,),
-        (jnp.int32(0),) * 4, K=K, k_right=k_right
+        (jnp.int32(0),) * 4, K=K, k_right=k_right, append=append
     )
     return out, n_out, nf, st[1], st[2]
 
@@ -744,19 +751,59 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
 
             count = jnp.minimum(tail - head, C)
             block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)), (C, w))
-            children, n_out, flags, stats = body(
-                *fms, block, count, flags, stats, K=K, k_right=k_right
+
+            def append(flat, keep, char_major):
+                # fused compact+append: the sort-compaction's kept-prefix
+                # gather writes its budget slices DIRECTLY into the queue
+                # at `tail` — no (4C, w) children buffer is materialized
+                # and no second full-width block copy happens (the old
+                # formulation wrote all 4C rows per step, 3/4 of them pad;
+                # the copy showed up as ~1 ms/chunk at 116M). Slice writes
+                # beyond n_keep leave garbage rows in
+                # [tail+n_keep, tail+slices*budget) — never read: the next
+                # append rewrites from its own tail, and head never
+                # crosses tail. Queue headroom stays 4C (slices*budget
+                # <= 4C with budget = C).
+                m = flat.shape[0]
+                if char_major:
+                    Cc, k = keep.shape
+                    slot = (jnp.arange(k, dtype=jnp.int32)[None, :] * Cc
+                            + jnp.arange(Cc, dtype=jnp.int32)[:, None])
+                    perm = jax.lax.sort(
+                        jnp.where(keep, slot, m + slot).reshape(m))
+                    cm = jnp.minimum(perm, m - 1)
+                    idx = (cm % Cc) * k + cm // Cc
+                else:
+                    iota = jnp.arange(m, dtype=jnp.int32)
+                    perm = jax.lax.sort(
+                        jnp.where(keep.reshape(m), iota, m + iota))
+                    idx = jnp.minimum(perm, m - 1)
+                n_keep = keep.sum(dtype=jnp.int32)
+                if not _SLICED:
+                    qq = jax.lax.dynamic_update_slice(
+                        q, flat[idx], (tail, jnp.int32(0)))
+                    return qq, n_keep
+                budget = min(C, m)
+
+                def wcond(st):
+                    return st[0] * budget < n_keep
+
+                def wstep(st):
+                    it, qq = st
+                    sel = jax.lax.dynamic_slice(idx, (it * budget,),
+                                                (budget,))
+                    rows = flat[jnp.minimum(sel, m - 1)]
+                    qq = jax.lax.dynamic_update_slice(
+                        qq, rows, (tail + it * budget, jnp.int32(0)))
+                    return it + 1, qq
+
+                qq = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), q))[1]
+                return qq, n_keep
+
+            q, n_out, flags, stats = body(
+                *fms, block, count, flags, stats, K=K, k_right=k_right,
+                append=append,
             )
-            # contiguous append: the compacted children buffer is
-            # garbage-padded beyond n_out; those pad rows land in
-            # [tail+n_out, tail+4C) and are fully overwritten by the next
-            # append (which starts at tail+n_out), and head never crosses
-            # tail — so no pad row is ever processed. A contiguous
-            # dynamic_update_slice keeps the queue update a block copy
-            # instead of a 4C-row scatter. On overflow the write clobbers
-            # the clamped tail region, but the whole phase restarts anyway.
-            q = jax.lax.dynamic_update_slice(q, children,
-                                             (tail, jnp.int32(0)))
             head = head + count
             tail = tail + n_out
             maxp = jnp.maximum(maxp, tail - head)
@@ -814,6 +861,114 @@ def _run_phase(fms, init_np, flags, body, n_hint, K, k_right):
         queue_cap *= 2
 
 
+# memory-lean post-passes engage above this n (the 16 GB HBM envelope:
+# at n = 1G the eager formulations peak at ~16 GB — dif + its cumsum +
+# both lane arrays live at once — while the scan-chunked ones stay under
+# ~7 GB). Below it the eager single-fusion forms are kept (measured
+# fastest at 116M). EBWT_LEAN_N overrides for tests.
+_LEAN_N = int(_os.environ.get("EBWT_LEAN_N", 1 << 27))
+_LEAN_SLICE = 1 << 24
+
+
+def _lean_pad(n_items: int) -> int:
+    return -(-n_items // _LEAN_SLICE) * _LEAN_SLICE
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
+def _fills_from_dif(dif, *, n: int):
+    """(fill_K, fill_R) uint8 from the dual-lane boundary-delta vector —
+    the scan-chunked, donating equivalent of
+    ``_split_lanes(jnp.cumsum(dif[:n]))``: the running packed sum rides a
+    scalar carry across 16M-element slices, so peak memory is the input
+    (donated) plus the two uint8 outputs instead of four n-word
+    temporaries (docs/PERF.md memory envelope)."""
+    S = dif.shape[0] // _LEAN_SLICE
+
+    def step(carry, sl):
+        cs = jnp.cumsum(sl) + carry
+        netK, netR = _split_lanes(cs)
+        return cs[-1], ((netK > 0).astype(jnp.uint8),
+                        (netR > 0).astype(jnp.uint8))
+
+    _, (fK, fR) = jax.lax.scan(step, jnp.int32(0),
+                               dif.reshape(S, _LEAN_SLICE))
+    return fK.reshape(-1)[:n], fR.reshape(-1)[:n]
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
+def _fills_from_dif3(dif, *, n: int):
+    """Tri-lane variant of _fills_from_dif (pair modes): K/R/DA fills."""
+    S = dif.shape[0] // _LEAN_SLICE
+
+    def step(carry, sl):
+        cs = jnp.cumsum(sl) + carry
+        netK, netR, netD = _split_lanes3(cs)
+        return cs[-1], ((netK > 0).astype(jnp.uint8),
+                        (netR > 0).astype(jnp.uint8),
+                        (netD > 0).astype(jnp.uint8))
+
+    _, (fK, fR, fD) = jax.lax.scan(step, jnp.int32(0),
+                                   dif.reshape(S, _LEAN_SLICE))
+    return (fK.reshape(-1)[:n], fR.reshape(-1)[:n], fD.reshape(-1)[:n])
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n",))
+def _combine_flags_lean(nf, fill_K, fill_R, *, n: int):
+    """thr_K/thr_R/minima uint8 from packed nibble words + leaf fills,
+    scan-chunked and donating (the eager unpack materializes an (n,)
+    int32 — 4 GB at n=1G — before the ors)."""
+    Lp = _LEAN_SLICE
+    S = _lean_pad(n) // Lp
+    words = jnp.zeros(S * Lp // 8, jnp.int32).at[: nf.shape[0]].set(nf)
+    fK = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_K)
+    fR = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_R)
+    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
+
+    def step(_, xs):
+        w, fk, fr = xs
+        pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
+        thr_K = (((pf & 1) != 0) | (fk != 0)).astype(jnp.uint8)
+        thr_R = (((pf & 2) != 0) | (fr != 0)).astype(jnp.uint8)
+        minima = ((pf & 4) != 0).astype(jnp.uint8)
+        return 0, (thr_K, thr_R, minima)
+
+    _, (tK, tR, mi) = jax.lax.scan(
+        step, 0,
+        (words.reshape(S, Lp // 8), fK.reshape(S, Lp), fR.reshape(S, Lp)),
+    )
+    return tK.reshape(-1)[:n], tR.reshape(-1)[:n], mi.reshape(-1)[:n]
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("n",))
+def _combine_flags_da_lean(nf, fill_K, fill_R, fill_D, *, n: int):
+    """Pair-mode variant of _combine_flags_lean: adds the DA lane."""
+    Lp = _LEAN_SLICE
+    S = _lean_pad(n) // Lp
+    words = jnp.zeros(S * Lp // 8, jnp.int32).at[: nf.shape[0]].set(nf)
+    fK = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_K)
+    fR = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_R)
+    fD = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_D)
+    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
+
+    def step(_, xs):
+        w, fk, fr, fd = xs
+        pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
+        return 0, (
+            (((pf & 1) != 0) | (fk != 0)).astype(jnp.uint8),
+            (((pf & 2) != 0) | (fr != 0)).astype(jnp.uint8),
+            ((pf & 4) != 0).astype(jnp.uint8),
+            (((pf & 8) != 0) | (fd != 0)).astype(jnp.uint8),
+        )
+
+    _, (tK, tR, mi, da) = jax.lax.scan(
+        step, 0,
+        (words.reshape(S, Lp // 8), fK.reshape(S, Lp), fR.reshape(S, Lp),
+         fD.reshape(S, Lp)),
+    )
+    return (tK.reshape(-1)[:n], tR.reshape(-1)[:n], mi.reshape(-1)[:n],
+            da.reshape(-1)[:n])
+
+
 def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     """Full single-BWT navigation (reference: navigate_one_bwt,
     ebwt2InDel.cpp:555-676): leaf phase then node phase, each a single
@@ -825,8 +980,9 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     import time as _time
 
     timing = os.environ.get("EBWT_TIMING")
+    lean = n >= _LEAN_N
     t0 = _time.perf_counter()
-    dif = jnp.zeros(n + 1, dtype=jnp.int32)
+    dif = jnp.zeros(_lean_pad(n + 1) if lean else n + 1, dtype=jnp.int32)
     (dif,), st_l, maxp_l = _run_phase(
         (fm,), fm.first_leaf()[None, :], (dif,), _leaf_body, n, K, k_right,
     )
@@ -840,6 +996,11 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
         )
         fill_K = jnp.cumsum(dif[:n]) > 0
         fill_R = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
+    elif lean:
+        # scan-chunked, dif-donating fills: at n = 1G the eager form
+        # peaks ~16 GB (dif + cumsum + both lanes), past the HBM envelope
+        fill_K, fill_R = _fills_from_dif(dif, n=n)
+        del dif
     else:
         # one packed cumsum then the carry-aware lane split (exact under
         # the same running-net bound that guards the scatter packing)
@@ -864,6 +1025,12 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
         "n_min": int(st_n[2]),
         "max_pending": max(maxp_l, maxp_n),
     }
+    if lean and int(st_l[2]) < _LANE_SAFE_DEPTH:
+        thr_K, thr_R, minima = _combine_flags_lean(
+            nf, fill_K.astype(jnp.uint8), fill_R.astype(jnp.uint8), n=n
+        )
+        return TraversalResult(thr_K=thr_K, thr_R=thr_R, minima=minima,
+                               da=None, stats=stats)
     pf = _unpack_flags(nf, n)
     thr_K = ((pf & 1) != 0) | fill_K
     thr_R = ((pf & 2) != 0) | fill_R
@@ -887,15 +1054,19 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     t0 = _time.perf_counter()
     l1 = fm1.first_leaf()
     l2 = fm2.first_leaf()
+    lean = n >= _LEAN_N
     start = np.array([[l1[0], l1[1], l2[0], l2[1], 0]], dtype=np.int32)
-    dif = jnp.zeros(n + 1, dtype=jnp.int32)
+    dif = jnp.zeros(_lean_pad(n + 1) if lean else n + 1, dtype=jnp.int32)
     (dif,), st_l, maxp_l = _run_phase(
         (fm1, fm2), start, (dif,), _leaf_pair_body3, n, K, k_right,
     )
     # one packed cumsum then a carry-aware lane split: exact while the
     # RUNNING per-position net counts respect the lane bounds — the same
     # max-depth bound that guards the scatter packing itself
-    if int(st_l[2]) < _LANE3_SAFE_DEPTH:
+    if lean and int(st_l[2]) < _LANE3_SAFE_DEPTH:
+        fill_K, fill_R, fill_D = _fills_from_dif3(dif, n=n)
+        del dif
+    elif int(st_l[2]) < _LANE3_SAFE_DEPTH:
         netK, netR, netD = _split_lanes3(jnp.cumsum(dif[:n]))
         fill_K, fill_R, fill_D = netK > 0, netR > 0, netD > 0
     elif int(st_l[2]) < _LANE_SAFE_DEPTH:
@@ -940,6 +1111,12 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
         "da_values": int(st_l[3]) + int(st_n[3]),
         "max_pending": max(maxp_l, maxp_n),
     }
+    if lean and int(st_l[2]) < _LANE3_SAFE_DEPTH:
+        thr_K, thr_R, minima, da = _combine_flags_da_lean(
+            nf, fill_K, fill_R, fill_D, n=n
+        )
+        return TraversalResult(thr_K=thr_K, thr_R=thr_R, minima=minima,
+                               da=da, stats=stats)
     pf = _unpack_flags(nf, n)
     thr_K = ((pf & 1) != 0) | fill_K
     thr_R = ((pf & 2) != 0) | fill_R

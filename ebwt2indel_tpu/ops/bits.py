@@ -32,11 +32,17 @@ def host_unpackbits(packed: np.ndarray, n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+import jax as _jax
+
+
+@_jax.jit
 def bv_build(bits_u8) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Device 0/1 uint8 vector -> (words (nb, 4) uint32, counts (nb,) int32)
     for ops.rank.bv_rank1 — the TPU-side rank structure over the document
     array (the reference scans its vector<bool> DA sequentially,
-    ebwt2InDel.cpp:1431-1432)."""
+    ebwt2InDel.cpp:1431-1432). Jitted so the pack fuses into one pass —
+    the eager form materializes two 4n-byte temporaries (matters inside
+    the 1G memory envelope, docs/PERF.md)."""
     n = bits_u8.shape[0]
     nb = -(-n // 128)
     pad = nb * 128 - n

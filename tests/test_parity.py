@@ -278,3 +278,36 @@ def test_mode1_fifty_x_with_rc_and_filter(tmp_path, rng):
     with open(got_out) as f:
         filter_snp.filter_stream(f, 5, 0, buf)
     assert buf.getvalue() == ref_filtered
+
+
+@needs_ref
+def test_memory_lean_paths_byte_parity(tmp_path, rng, monkeypatch):
+    """The >=1G memory-envelope code paths (scan-chunked dif fills, packed
+    flag combine, packed right-anchor table, sliced cluster-run
+    extraction) forced at small n via the lean threshold: outputs must
+    stay byte-identical to the reference for modes 1 and 2."""
+    from ebwt2indel_tpu.models import traverse
+
+    monkeypatch.setattr(traverse, "_LEAN_N", 1000)
+
+    path, _ = make_dataset(str(tmp_path), rng)
+    ref_out = str(tmp_path / "ref.snp")
+    got_out = str(tmp_path / "got.snp")
+    run_reference(["-1", path, "-o", ref_out])
+    pipeline.run_one_dataset(Config(input1=path, output=got_out),
+                             log=lambda *a, **k: None)
+    assert open(got_out, "rb").read() == open(ref_out, "rb").read()
+    assert os.path.getsize(ref_out) > 0
+
+    reads1, reads2 = _make_pair_inputs(tmp_path, rng)
+    p1 = str(tmp_path / "a.ebwt")
+    p2 = str(tmp_path / "b.ebwt")
+    open(p1, "w").write(ebwt.ebwt_of_reads(reads1))
+    open(p2, "w").write(ebwt.ebwt_of_reads(reads2))
+    ref2 = str(tmp_path / "ref2.snp")
+    got2 = str(tmp_path / "got2.snp")
+    run_reference(["-1", p1, "-2", p2, "-o", ref2])
+    pipeline.run_two_datasets(Config(input1=p1, input2=p2, output=got2),
+                              log=lambda *a, **k: None)
+    assert open(got2, "rb").read() == open(ref2, "rb").read()
+    assert os.path.getsize(ref2) > 0
