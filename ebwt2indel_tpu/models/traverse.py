@@ -715,7 +715,7 @@ def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit,
+@partial(jax.jit, donate_argnums=(2,),
          static_argnames=("body", "queue_cap", "chunk", "K", "k_right"))
 def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
     """Run a full traversal phase inside one lax.while_loop.
@@ -841,19 +841,22 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
     return flags, jnp.stack(stats), overflow, maxp
 
 
-def _run_phase(fms, init_np, flags, body, n_hint, K, k_right):
+def _run_phase(fms, init_np, flags_factory, body, n_hint, K, k_right):
     """Host wrapper: run a queue phase, doubling the queue on overflow.
 
     The queue bound is conservative (#pending nodes stays far below n in
-    practice). Flag updates are not idempotent across a partial run (the
-    diff arrays use +/-1 adds), so a retry restarts from the pristine input
-    flags — which remain valid because _queue_phase does not donate them.
+    practice: 1.69M at n=116M). Flag updates are not idempotent across a
+    partial run (the diff arrays use +/-1 adds), so flags enter as a
+    FACTORY producing pristine zeros: _queue_phase donates its flag
+    buffers (they are the largest arrays of the program — not donating
+    doubled the 4.2 GB dif at n=1G, breaching HBM at compile time) and an
+    overflow retry simply makes fresh ones.
     """
     queue_cap = max(1 << 21, n_hint // 32)  # bounds *pending* nodes only —
     # consumed queue space is reclaimed in-loop; doubles on real overflow
     while True:
         out_flags, stats, overflow, maxp = _queue_phase(
-            fms, jnp.asarray(init_np.astype(np.int32)), flags,
+            fms, jnp.asarray(init_np.astype(np.int32)), flags_factory(),
             body=body, queue_cap=queue_cap, chunk=CHUNK, K=K, k_right=k_right,
         )
         if not bool(overflow):
@@ -974,7 +977,6 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     ebwt2InDel.cpp:555-676): leaf phase then node phase, each a single
     compiled device program."""
     n = fm.n
-    nf = jnp.zeros(_flag_words(n), dtype=jnp.int32)
 
     import os
     import time as _time
@@ -982,17 +984,19 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     timing = os.environ.get("EBWT_TIMING")
     lean = n >= _LEAN_N
     t0 = _time.perf_counter()
-    dif = jnp.zeros(_lean_pad(n + 1) if lean else n + 1, dtype=jnp.int32)
+    dif_n = _lean_pad(n + 1) if lean else n + 1
     (dif,), st_l, maxp_l = _run_phase(
-        (fm,), fm.first_leaf()[None, :], (dif,), _leaf_body, n, K, k_right,
+        (fm,), fm.first_leaf()[None, :],
+        lambda: (jnp.zeros(dif_n, dtype=jnp.int32),), _leaf_body, n, K,
+        k_right,
     )
     if int(st_l[2]) >= _LANE_SAFE_DEPTH:
         # per-position net counts may exceed the 16-bit lane: rerun with
         # the int32-per-field program (first compile happens only here)
-        dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
         (dif,), st_l, maxp_l = _run_phase(
-            (fm,), fm.first_leaf()[None, :], (dif,), _leaf_body_wide, n,
-            K, k_right,
+            (fm,), fm.first_leaf()[None, :],
+            lambda: (jnp.zeros(2 * (n + 1), dtype=jnp.int32),),
+            _leaf_body_wide, n, K, k_right,
         )
         fill_K = jnp.cumsum(dif[:n]) > 0
         fill_R = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
@@ -1012,7 +1016,9 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
               flush=True)
         t0 = _time.perf_counter()
     (nf,), st_n, maxp_n = _run_phase(
-        (fm,), fm.root()[None, :], (nf,), _node_body, n, K, k_right,
+        (fm,), fm.root()[None, :],
+        lambda: (jnp.zeros(_flag_words(n), dtype=jnp.int32),), _node_body,
+        n, K, k_right,
     )
     if timing:
         np.asarray(nf[:1])
@@ -1045,7 +1051,6 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     """Lockstep navigation of two suffix trees simulating the merged
     collection (reference: navigate_two_bwts, ebwt2InDel.cpp:679-831)."""
     n = fm1.n + fm2.n
-    nf = jnp.zeros(_flag_words(n), dtype=jnp.int32)
 
     import os
     import time as _time
@@ -1056,9 +1061,11 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     l2 = fm2.first_leaf()
     lean = n >= _LEAN_N
     start = np.array([[l1[0], l1[1], l2[0], l2[1], 0]], dtype=np.int32)
-    dif = jnp.zeros(_lean_pad(n + 1) if lean else n + 1, dtype=jnp.int32)
+    dif_n = _lean_pad(n + 1) if lean else n + 1
     (dif,), st_l, maxp_l = _run_phase(
-        (fm1, fm2), start, (dif,), _leaf_pair_body3, n, K, k_right,
+        (fm1, fm2), start,
+        lambda: (jnp.zeros(dif_n, dtype=jnp.int32),), _leaf_pair_body3, n,
+        K, k_right,
     )
     # one packed cumsum then a carry-aware lane split: exact while the
     # RUNNING per-position net counts respect the lane bounds — the same
@@ -1071,18 +1078,20 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
         fill_K, fill_R, fill_D = netK > 0, netR > 0, netD > 0
     elif int(st_l[2]) < _LANE_SAFE_DEPTH:
         # deep input: rerun with the dual-lane + DA-area layout
-        dif = jnp.zeros(2 * (n + 1), dtype=jnp.int32)
         (dif,), st_l, maxp_l = _run_phase(
-            (fm1, fm2), start, (dif,), _leaf_pair_body, n, K, k_right,
+            (fm1, fm2), start,
+            lambda: (jnp.zeros(2 * (n + 1), dtype=jnp.int32),),
+            _leaf_pair_body, n, K, k_right,
         )
         netK, netR = _split_lanes(jnp.cumsum(dif[:n]))
         fill_K, fill_R = netK > 0, netR > 0
         fill_D = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
     else:
         # pathological depth: int32-per-field layout
-        dif = jnp.zeros(3 * (n + 1), dtype=jnp.int32)
         (dif,), st_l, maxp_l = _run_phase(
-            (fm1, fm2), start, (dif,), _leaf_pair_body_wide, n, K, k_right,
+            (fm1, fm2), start,
+            lambda: (jnp.zeros(3 * (n + 1), dtype=jnp.int32),),
+            _leaf_pair_body_wide, n, K, k_right,
         )
         fill_K = jnp.cumsum(dif[:n]) > 0
         fill_R = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
@@ -1097,7 +1106,9 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     r2 = fm2.root()
     start = np.concatenate([r1[:6], r2[:6], [0]]).astype(np.int32)[None, :]
     (nf,), st_n, maxp_n = _run_phase(
-        (fm1, fm2), start, (nf,), _node_pair_body, n, K, k_right,
+        (fm1, fm2), start,
+        lambda: (jnp.zeros(_flag_words(n), dtype=jnp.int32),),
+        _node_pair_body, n, K, k_right,
     )
     if timing:
         np.asarray(nf[:1])
