@@ -726,8 +726,13 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
     Returns (flags, stats(4,), overflow flag, max_pending).
     """
     w = init.shape[1]
-    q = jnp.zeros((queue_cap + 4 * chunk, w), dtype=jnp.int32)
-    q = jax.lax.dynamic_update_slice(q, init, (0, 0))
+    # the queue is stored FLATTENED (1-D, row-major): a 2-D (rows, w)
+    # int32 array is tiled to (8, 128) on TPU, padding the minor dim from
+    # w to 128 — at n=1G the (33.9M, 3) leaf queue alone would be 17.3 GB
+    # of HBM (the driver-observed compile OOM); flat it is 0.41 GB.
+    # head/tail stay in ROW units; only slice offsets scale by w.
+    q = jnp.zeros((queue_cap + 4 * chunk) * w, dtype=jnp.int32)
+    q = jax.lax.dynamic_update_slice(q, init.reshape(-1), (0,))
 
     def cond(state):
         _, head, tail, overflow, _, _, _ = state
@@ -739,18 +744,20 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
             # reclaim consumed queue space: when the next append could
             # overrun the buffer, shift the pending region [head, tail)
             # back to offset 0 (amortized O(C) per step)
-            need = (tail + 4 * C) > q.shape[0]
+            q_rows = q.shape[0] // w
+            need = (tail + 4 * C) > q_rows
             q = jax.lax.cond(
-                need, lambda a, h: jnp.roll(a, -h, axis=0),
+                need, lambda a, h: jnp.roll(a, -h * w, axis=0),
                 lambda a, h: a, q, head
             )
             tail = jnp.where(need, tail - head, tail)
             head = jnp.where(need, 0, head)
             # true overflow: pending alone can't fit — restart bigger
-            overflow = (tail + 4 * C) > q.shape[0]
+            overflow = (tail + 4 * C) > q_rows
 
             count = jnp.minimum(tail - head, C)
-            block = jax.lax.dynamic_slice(q, (head, jnp.int32(0)), (C, w))
+            block = jax.lax.dynamic_slice(
+                q, (head * w,), (C * w,)).reshape(C, w)
 
             def append(flat, keep, char_major):
                 # fused compact+append: the sort-compaction's kept-prefix
@@ -781,7 +788,7 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
                 n_keep = keep.sum(dtype=jnp.int32)
                 if not _SLICED:
                     qq = jax.lax.dynamic_update_slice(
-                        q, flat[idx], (tail, jnp.int32(0)))
+                        q, flat[idx].reshape(-1), (tail * w,))
                     return qq, n_keep
                 budget = min(C, m)
 
@@ -794,7 +801,7 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
                                                 (budget,))
                     rows = flat[jnp.minimum(sel, m - 1)]
                     qq = jax.lax.dynamic_update_slice(
-                        qq, rows, (tail + it * budget, jnp.int32(0)))
+                        qq, rows.reshape(-1), ((tail + it * budget) * w,))
                     return it + 1, qq
 
                 qq = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), q))[1]
