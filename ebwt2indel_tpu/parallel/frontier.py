@@ -48,6 +48,97 @@ from . import shard
 AXIS = shard.AXIS
 
 
+# pair-phase side-2 rank transport: 1 = all_to_all query routing (per-step
+# communication O(chunk) per shard, independent of mesh size), 0 = the
+# round-2 full-chunk all_gather + psum formulation (O(n_dev*chunk) — kept
+# for A/B; see comm_bytes_per_step)
+import os as _os
+
+_PAIR_ROUTE = _os.environ.get("EBWT_PAIR_ROUTE", "1") != "0"
+
+
+def comm_bytes_per_step(n_dev: int, chunk: int, k: int, w: int,
+                        qseg: int, routed: bool) -> int:
+    """Per-shard, per-step communication bytes of the pair phases'
+    side-2 rank transport (asserted by tests/test_parallel.py): routed =
+    query rows out + answer rows back (fixed n_dev*qseg buffers, qseg ~
+    2*chunk/n_dev); all_gather = the full (n_dev, chunk, w) chunk gather
+    plus two psum'd (n_dev*chunk, k, 4) rank tensors."""
+    if routed:
+        q_row = (k + 1) * 4          # k coords + slot
+        a_row = (4 * k + 1) * 4      # 4 ranks per coord + slot
+        return n_dev * qseg * (q_row + a_row)
+    return (n_dev * chunk * w * 4          # all_gather of the chunks
+            + 2 * n_dev * chunk * k * 4 * 4)  # two psum'd rank tensors
+
+
+def _routed_pair_rank(b_h, rows_b, coords, valid, *, n_dev, sid, qseg):
+    """parallel_rank at per-row sorted k-coordinate tuples answered by
+    the OWNING shard via fixed-shape all_to_all query routing.
+
+    coords: (C, k) int32, rows non-decreasing; only rows whose anchor
+    block rows span <= 2 (narrow on the queried side) get exact answers —
+    the owner of row(coords[:,0]) decodes both anchors through its 1-row
+    right halo (b_h = local blocks + halo). Queries carry their source
+    chunk slot; answers return through the reverse all_to_all and scatter
+    back by slot. Per-shard traffic is O(n_dev*qseg) rows with
+    qseg ~ 2*chunk/n_dev — O(chunk), independent of mesh size — versus
+    the all_gather formulation's O(n_dev*chunk) (comm_bytes_per_step).
+
+    Returns (ranks (C, k, 4) — garbage on rows not answered, callers mask
+    by their own narrow classification — and an overflow flag set when a
+    (src, dst) bucket exceeds qseg; the host doubles qseg and retries)."""
+    C, k = coords.shape
+    rb0 = jax.lax.shift_right_logical(coords[:, 0], 7)
+    rbk = jax.lax.shift_right_logical(coords[:, k - 1], 7)
+    narrow = valid & ((rbk - rb0) <= 1)
+    dest = jnp.clip(rb0 // rows_b, 0, n_dev - 1)
+    slot = jnp.arange(C, dtype=jnp.int32)
+    flat = jnp.concatenate([coords, slot[:, None]], axis=1)  # (C, k+1)
+
+    # dest-sorted buckets (cf. _route), fixed segment qseg per (src, dst)
+    sp = jax.lax.sort(jnp.where(narrow, dest * C + slot, n_dev * C + slot))
+    rows_sorted = flat[jnp.minimum(sp % C, C - 1)]
+    sdest = jnp.minimum(sp // C, n_dev - 1)
+    n_q = jnp.sum(narrow.astype(jnp.int32))
+    cnt = jnp.zeros(n_dev, jnp.int32).at[
+        jnp.where(slot < n_q, sdest, n_dev)
+    ].add(1, mode="drop")
+    ovf = jnp.any(cnt > qseg).astype(jnp.int32)
+    off = jnp.cumsum(cnt) - cnt
+    R = n_dev * qseg
+    slot_d = jnp.arange(R, dtype=jnp.int32) // qseg
+    slot_s = jnp.arange(R, dtype=jnp.int32) % qseg
+    src = jnp.where(slot_s < cnt[slot_d], off[slot_d] + slot_s, 0)
+    send = rows_sorted[jnp.minimum(src, C - 1)]
+    send = jnp.where((slot_s < cnt[slot_d])[:, None], send, -1)
+    recv = jax.lax.all_to_all(send, AXIS, 0, 0, tiled=True)  # (R, k+1)
+
+    # decode every recv slot against the owner-local haloed rows (invalid
+    # slots carry coords -1 -> clipped rows, garbage; their slot is -1 so
+    # the answer scatter drops them)
+    qc = recv[:, :k]
+    o = qc & jnp.int32(127)
+    base_row = sid * rows_b
+    a0 = jnp.clip(
+        jax.lax.shift_right_logical(qc[:, 0], 7) - base_row, 0, rows_b)
+    ak = jnp.clip(
+        jax.lax.shift_right_logical(qc[:, k - 1], 7) - base_row, 0, rows_b)
+    dec_lo = shard._local_decode_multi(b_h[a0], o)
+    dec_hi = shard._local_decode_multi(b_h[ak], o)
+    b_rows = jax.lax.shift_right_logical(qc, 7)
+    use_hi = b_rows == b_rows[:, k - 1][:, None]
+    dec = jnp.where(use_hi[:, :, None], dec_hi, dec_lo)  # (R, k, 4)
+
+    ans = jnp.concatenate([recv[:, k:], dec.reshape(R, 4 * k)], axis=1)
+    back = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=True)  # (R, 4k+1)
+    aslot = back[:, 0]
+    ranks = jnp.zeros((C, k, 4), jnp.int32).at[
+        jnp.where(aslot >= 0, aslot, C)
+    ].set(back[:, 1:].reshape(R, k, 4), mode="drop")
+    return ranks, ovf
+
+
 def _route(flat, keep, dest, segN, *, n_dev, sid):
     """Fixed-shape all_to_all routing of kept rows to dest shards
     (dest-sorted buckets; per-bucket counts ride an all_gather). Must run
@@ -88,6 +179,12 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
     evidence for the ~1/n_dev queue-machinery scaling claim."""
     n_dev = mesh.devices.size
     M = 4 * chunk  # children slots per chunk; chunk is a power of two
+    # budgets are clamped to their entry-vector lengths: n_wide <= chunk
+    # and spills <= 4*chunk per step, and an unclamped budget past those
+    # bounds silently truncates the [:budget] slice into a shape mismatch
+    # (the host doubling-retry can otherwise grow them past the bound)
+    wbudget = min(wbudget, chunk)
+    fbudget = min(fbudget, 4 * chunk)
     NW = n_dev * wbudget
     MAXAPP = n_dev * seg + 4 * NW  # rows appended per step, worst case
 
@@ -319,6 +416,9 @@ def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
     psum'd [leaves, lcp, max_depth, maxp], overflow count)."""
     n_dev = mesh.devices.size
     M = 4 * chunk
+    # clamp budgets to their entry-vector bounds (see _frontier_node_phase)
+    wbudget = min(wbudget, chunk)
+    fbudget = min(fbudget, 2 * chunk)
     NW = n_dev * wbudget
     MAXAPP = n_dev * seg + 4 * NW
 
@@ -622,10 +722,11 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
 
 @partial(jax.jit,
          static_argnames=("mesh", "rows1", "rows2", "local_n", "queue_cap",
-                          "chunk", "seg", "fseg", "K", "k_right"))
+                          "chunk", "seg", "fseg", "qseg", "wbudget", "K",
+                          "k_right"))
 def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                               rows2, local_n, queue_cap, chunk, seg,
-                              fseg, K, k_right):
+                              fseg, qseg, wbudget, K, k_right):
     """Frontier-sharded lockstep leaf-pair phase (modes 2/3 merge;
     reference update_DA ebwt2InDel.cpp:394-425 + next_leaves
     dna_bwt.hpp:358-379; cf. models/traverse._leaf_pair_body3).
@@ -648,7 +749,9 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
     n_dev = mesh.devices.size
     M = 4 * chunk
     G = n_dev * chunk
-    MAXAPP = n_dev * seg
+    wbudget = min(wbudget, chunk)
+    NW = n_dev * wbudget
+    MAXAPP = n_dev * seg + (4 * NW if _PAIR_ROUTE else 0)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P(AXIS, None), P()),
@@ -665,9 +768,33 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
             b1_l[0], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)]
         )
         b1_h = jnp.concatenate([b1_l, halo[None]], axis=0)
+        if _PAIR_ROUTE:
+            halo2 = jax.lax.ppermute(
+                b2_l[0], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+            )
+            b2_h = jnp.concatenate([b2_l, halo2[None]], axis=0)
 
         q = jnp.zeros((queue_cap + MAXAPP, 5), dtype=jnp.int32)
         dif_l = jnp.zeros(local_n, dtype=jnp.int32)
+
+        def delta_entries(rows5, vmask):
+            """Tri-lane (position, word) boundary-delta entries of the
+            given leaf-pair rows (update_DA, ebwt2InDel.cpp:394-425) plus
+            the per-call lcp/da stat sums."""
+            g1, t1_, g2, t2_, dep = (rows5[:, i] for i in range(5))
+            st1 = g1 + g2
+            st2 = g2 + t1_
+            en = t1_ + t2_
+            cK = vmask & (dep >= K)
+            cR = vmask & (dep >= k_right)
+            vv = cK * 1 + cR * (1 << 11)
+            dd = vmask * (1 << 22)
+            didx = jnp.concatenate([st1 + 1, st2, en])
+            dval = jnp.concatenate([vv, dd, -(vv + dd)])
+            dkeep = jnp.concatenate([vv > 0, vmask, vmask])
+            lcp = jnp.sum(jnp.where(vmask, en - st1 - 1, 0))
+            dav = jnp.sum(jnp.where(vmask, en - st1, 0))
+            return didx, dval, dkeep, lcp, dav
 
         def body(state):
             (q, head, tail, dif_l, stats, pending, govf) = state
@@ -695,82 +822,197 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
             dec_s = shard._local_decode_multi(b1_h[asx], o2)[:, 1]
             r1 = jnp.stack([dec_f, dec_s], axis=1)  # (C, 2, 4)
 
-            # gathered set: side-2 lf_ranges for everything, side-1 for
-            # the wide rows; owned-anchor compaction + one psum
-            gall = jax.lax.all_gather(block, AXIS)  # (n_dev, C, 5)
-            gflat = gall.reshape(G, 5)
-            bud = max(128, G // 8)
-            r2_all, r1w_all = jax.lax.psum(
-                (shard.local_parallel_rank_sorted(
-                    b2_l, rows2, gflat[:, 2:4], budget=bud),
-                 shard.local_parallel_rank_sorted(
-                     b1_l, rows1, gflat[:, 0:2], budget=bud)),
-                AXIS,
-            )  # each (G, 2, 4)
-            r2 = jax.lax.dynamic_slice(
-                r2_all.reshape(n_dev, chunk, 2, 4),
-                (sid, 0, 0, 0), (1, chunk, 2, 4),
-            )[0]
-            r1w = jax.lax.dynamic_slice(
-                r1w_all.reshape(n_dev, chunk, 2, 4),
-                (sid, 0, 0, 0), (1, chunk, 2, 4),
-            )[0]
-            wide1 = valid & ~narrow1
-            r1 = jnp.where(wide1[:, None, None], r1w, r1)
+            if _PAIR_ROUTE:
+                # ---- routed: side-2 narrow lf_ranges by query routing;
+                # pairs wide on either side take the wbudget all_gather +
+                # psum dense path (cf. node-pair phase) -----------------
+                b2f = jax.lax.shift_right_logical(f2, 7)
+                b2s = jax.lax.shift_right_logical(s2, 7)
+                narrow2 = valid & ((b2s - b2f) <= 1)
+                nrw = narrow1 & narrow2
+                wide = valid & ~nrw
 
-            lo1 = F1 + r1[:, 0]  # (C, 4)
-            hi1 = F1 + r1[:, 1]
-            lo2 = F2 + r2[:, 0]
-            hi2 = F2 + r2[:, 1]
+                r2, ovf_q = _routed_pair_rank(
+                    b2_h, rows2, block[:, 2:4], nrw,
+                    n_dev=n_dev, sid=sid, qseg=qseg,
+                )
+                ovf = ovf + ovf_q
 
-            # tri-lane boundary deltas, routed to the merged-position owner
-            start1 = f1 + f2
-            start2 = f2 + s1
-            end = s1 + s2
-            condK = valid & (depth >= K)
-            condR = valid & (depth >= k_right)
-            v = condK * 1 + condR * (1 << 11)
-            d = valid * (1 << 22)
-            didx = jnp.concatenate([start1 + 1, start2, end])
-            dval = jnp.concatenate([v, d, -(v + d)])
-            dkeep = jnp.concatenate([v > 0, valid, valid])
-            fr, n_fr, ovf_f = _route(
-                jnp.stack([didx, dval], axis=-1), dkeep,
-                jnp.clip(didx // local_n, 0, n_dev - 1), fseg,
-                n_dev=n_dev, sid=sid,
-            )
-            flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
-            dif_l = dif_l.at[
-                jnp.where(flive, fr[:, 0] - base_pos, local_n)
-            ].add(fr[:, 1], mode="drop")
-            ovf = ovf + ovf_f
+                n_wide = jnp.sum(wide.astype(jnp.int32))
+                ovf = ovf + (n_wide > wbudget)
+                iota_c = jnp.arange(chunk, dtype=jnp.int32)
+                wperm = jax.lax.sort(
+                    jnp.where(wide, iota_c, chunk + iota_c))
+                wrows = block[jnp.minimum(wperm[:wbudget], chunk - 1)]
+                wvalid_l = jnp.arange(wbudget, dtype=jnp.int32) < n_wide
+                wrows = jnp.where(wvalid_l[:, None], wrows, 0)
+                wall = jax.lax.all_gather(wrows, AXIS)  # (n_dev, wb, 5)
+                wcnt = jax.lax.all_gather(n_wide, AXIS)
+                wflat = wall.reshape(NW, 5)
+                wsrc = jnp.arange(NW, dtype=jnp.int32) // wbudget
+                wvalid = (jnp.arange(NW, dtype=jnp.int32) % wbudget) < \
+                    wcnt[wsrc]
+                wr1, wr2 = jax.lax.psum(
+                    (shard.local_parallel_rank(b1_l, rows1,
+                                               wflat[:, 0:2]),
+                     shard.local_parallel_rank(b2_l, rows2,
+                                               wflat[:, 2:4])),
+                    AXIS,
+                )  # each (NW, 2, 4)
 
-            # children (next_leaves): combined size >= 2, routed by the
-            # owner of the child's side-1 first coordinate
-            child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
-            children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], -1)
-            combined = (hi1 - lo1) + (hi2 - lo2)
-            keep = (valid[:, None] & (combined >= 2)).reshape(M)
-            flat_c = children.reshape(M, 5)
-            rq, n_rq, ovf_c = _route(
-                flat_c, keep,
-                jnp.clip(
-                    jax.lax.shift_right_logical(flat_c[:, 0], 7) // rows1,
+                lo1 = F1 + r1[:, 0]  # (C, 4)
+                hi1 = F1 + r1[:, 1]
+                lo2 = F2 + r2[:, 0]
+                hi2 = F2 + r2[:, 1]
+
+                # narrow boundary deltas -> routed to merged-pos owners
+                didx, dval, dkeep, lcp_n, da_n = delta_entries(block, nrw)
+                fr, n_fr, ovf_f = _route(
+                    jnp.stack([didx, dval], axis=-1), dkeep,
+                    jnp.clip(didx // local_n, 0, n_dev - 1), fseg,
+                    n_dev=n_dev, sid=sid,
+                )
+                flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
+                dif_l = dif_l.at[
+                    jnp.where(flive, fr[:, 0] - base_pos, local_n)
+                ].add(fr[:, 1], mode="drop")
+                ovf = ovf + ovf_f
+
+                # wide-row deltas: every shard applies the ones landing
+                # locally; stats counted once (own rows only)
+                widx, wval, wdkeep, _, _ = delta_entries(wflat, wvalid)
+                wlp = widx - base_pos
+                wok = wdkeep & (wlp >= 0) & (wlp < local_n)
+                dif_l = dif_l.at[
+                    jnp.where(wok, wlp, local_n)
+                ].add(jnp.where(wdkeep, wval, 0), mode="drop")
+                _, _, _, lcp_w, da_w = delta_entries(
+                    wflat, wvalid & (wsrc == sid))
+
+                # narrow children routed by side-1 owner
+                child_depth = jnp.broadcast_to((depth + 1)[:, None],
+                                               lo1.shape)
+                children = jnp.stack([lo1, hi1, lo2, hi2, child_depth],
+                                     -1)
+                combined = (hi1 - lo1) + (hi2 - lo2)
+                keep = (nrw[:, None] & (combined >= 2)).reshape(M)
+                flat_c = children.reshape(M, 5)
+                rq, n_rq, ovf_c = _route(
+                    flat_c, keep,
+                    jnp.clip(
+                        jax.lax.shift_right_logical(flat_c[:, 0], 7)
+                        // rows1, 0, n_dev - 1,
+                    ), seg, n_dev=n_dev, sid=sid,
+                )
+                ovf = ovf + ovf_c
+                q = jax.lax.dynamic_update_slice(q, rq,
+                                                 (tail, jnp.int32(0)))
+                tail = tail + n_rq
+
+                # wide children: replicated — each shard pushes owned ones
+                wlo1 = F1 + wr1[:, 0]
+                whi1 = F1 + wr1[:, 1]
+                wlo2 = F2 + wr2[:, 0]
+                whi2 = F2 + wr2[:, 1]
+                wchild_depth = jnp.broadcast_to(
+                    (wflat[:, 4] + 1)[:, None], wlo1.shape)
+                wchildren = jnp.stack(
+                    [wlo1, whi1, wlo2, whi2, wchild_depth], -1)
+                wcombined = (whi1 - wlo1) + (whi2 - wlo2)
+                wflat_c = wchildren.reshape(NW * 4, 5)
+                wdest = jnp.clip(
+                    jax.lax.shift_right_logical(wflat_c[:, 0], 7) // rows1,
                     0, n_dev - 1,
-                ), seg, n_dev=n_dev, sid=sid,
-            )
-            ovf = ovf + ovf_c
+                )
+                wq, n_wq = t1._compact(
+                    wflat_c,
+                    (wvalid[:, None] & (wcombined >= 2)).reshape(-1)
+                    & (wdest == sid),
+                )
+                q = jax.lax.dynamic_update_slice(q, wq,
+                                                 (tail, jnp.int32(0)))
+                tail = tail + n_wq
+                head = head + count
 
-            q = jax.lax.dynamic_update_slice(q, rq, (tail, jnp.int32(0)))
-            tail = tail + n_rq
-            head = head + count
+                stats = (
+                    stats[0] + count,
+                    stats[1] + lcp_n + lcp_w,
+                    jnp.maximum(stats[2],
+                                jnp.max(jnp.where(valid, depth, 0))),
+                    stats[3] + da_n + da_w,
+                )
+            else:
+                # ---- round-2 A/B formulation: full-chunk all_gather ----
+                gall = jax.lax.all_gather(block, AXIS)  # (n_dev, C, 5)
+                gflat = gall.reshape(G, 5)
+                bud = max(128, G // 8)
+                r2_all, r1w_all = jax.lax.psum(
+                    (shard.local_parallel_rank_sorted(
+                        b2_l, rows2, gflat[:, 2:4], budget=bud),
+                     shard.local_parallel_rank_sorted(
+                         b1_l, rows1, gflat[:, 0:2], budget=bud)),
+                    AXIS,
+                )  # each (G, 2, 4)
+                r2 = jax.lax.dynamic_slice(
+                    r2_all.reshape(n_dev, chunk, 2, 4),
+                    (sid, 0, 0, 0), (1, chunk, 2, 4),
+                )[0]
+                r1w = jax.lax.dynamic_slice(
+                    r1w_all.reshape(n_dev, chunk, 2, 4),
+                    (sid, 0, 0, 0), (1, chunk, 2, 4),
+                )[0]
+                wide1 = valid & ~narrow1
+                r1 = jnp.where(wide1[:, None, None], r1w, r1)
 
-            stats = (
-                stats[0] + count,
-                stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
-                jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
-                stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),
-            )
+                lo1 = F1 + r1[:, 0]  # (C, 4)
+                hi1 = F1 + r1[:, 1]
+                lo2 = F2 + r2[:, 0]
+                hi2 = F2 + r2[:, 1]
+
+                # tri-lane boundary deltas, routed to merged-pos owners
+                didx, dval, dkeep, lcp_v, da_v = delta_entries(block,
+                                                               valid)
+                fr, n_fr, ovf_f = _route(
+                    jnp.stack([didx, dval], axis=-1), dkeep,
+                    jnp.clip(didx // local_n, 0, n_dev - 1), fseg,
+                    n_dev=n_dev, sid=sid,
+                )
+                flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
+                dif_l = dif_l.at[
+                    jnp.where(flive, fr[:, 0] - base_pos, local_n)
+                ].add(fr[:, 1], mode="drop")
+                ovf = ovf + ovf_f
+
+                # children (next_leaves): combined size >= 2, routed by
+                # the owner of the child's side-1 first coordinate
+                child_depth = jnp.broadcast_to((depth + 1)[:, None],
+                                               lo1.shape)
+                children = jnp.stack([lo1, hi1, lo2, hi2, child_depth],
+                                     -1)
+                combined = (hi1 - lo1) + (hi2 - lo2)
+                keep = (valid[:, None] & (combined >= 2)).reshape(M)
+                flat_c = children.reshape(M, 5)
+                rq, n_rq, ovf_c = _route(
+                    flat_c, keep,
+                    jnp.clip(
+                        jax.lax.shift_right_logical(flat_c[:, 0], 7)
+                        // rows1, 0, n_dev - 1,
+                    ), seg, n_dev=n_dev, sid=sid,
+                )
+                ovf = ovf + ovf_c
+
+                q = jax.lax.dynamic_update_slice(q, rq,
+                                                 (tail, jnp.int32(0)))
+                tail = tail + n_rq
+                head = head + count
+
+                stats = (
+                    stats[0] + count,
+                    stats[1] + lcp_v,
+                    jnp.maximum(stats[2],
+                                jnp.max(jnp.where(valid, depth, 0))),
+                    stats[3] + da_v,
+                )
             glob = jax.lax.psum(jnp.stack([tail - head, ovf]), AXIS)
             return (q, head, tail, dif_l, stats, glob[0], govf + glob[1])
 
@@ -827,30 +1069,38 @@ def _combine_frontier_pair(mesh, nf, dif):
 
 @partial(jax.jit,
          static_argnames=("mesh", "rows1", "rows2", "local_n", "queue_cap",
-                          "chunk", "seg", "fseg", "K", "k_right"))
+                          "chunk", "seg", "fseg", "qseg", "wbudget", "K",
+                          "k_right"))
 def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                               rows2, local_n, queue_cap, chunk, seg,
-                              fseg, K, k_right):
+                              fseg, qseg, wbudget, K, k_right):
     """Frontier-sharded lockstep node-pair phase (modes 2/3 merge;
     reference find_leaves ebwt2InDel.cpp:474-527 + merged-node updates
     792-802; cf. models/traverse._node_pair_body).
 
     A pair node lives on the shard owning the block row of its side-1
     first coordinate (rows1 space); its side-1 narrow rank is halo-local.
-    Side-2 ranks and side-1 wide rows are answered over an all_gather of
-    the step's chunks by owned-anchor compaction + one psum — per-shard
-    decode stays O(total/n_dev). Flag writes target the MERGED position
-    space (partitioned by local_n, no block alignment, hence no halo
-    shortcut): entries route to their owner with the same fixed-shape
-    all_to_all as the children. nf: per-shard packed nibble words over
-    local_n merged positions.
+    Side-2 narrow ranks are answered by their OWNING shard via
+    fixed-shape all_to_all query routing (_routed_pair_rank, per-step
+    traffic O(chunk)/shard independent of mesh size); pairs wide on
+    either side take a small-budget all_gather + psum'd dense rank
+    (cf. the mode-1 node phase's wide path). EBWT_PAIR_ROUTE=0 selects
+    the round-2 full-chunk all_gather formulation for A/B
+    (comm_bytes_per_step quantifies the difference). Flag writes target
+    the MERGED position space (partitioned by local_n, no block
+    alignment, hence no halo shortcut): narrow entries route to their
+    owner with the same fixed-shape all_to_all as the children; wide-row
+    entries are seen by every shard and scatter locally. nf: per-shard
+    packed nibble words over local_n merged positions.
 
     meta = concat(F1(4), F2(4), root_row(13)). Returns (nf_l sharded,
     psum'd stats(4,) [pairs, lcp, minima, da], overflow count)."""
     n_dev = mesh.devices.size
     M = 4 * chunk
     G = n_dev * chunk
-    MAXAPP = n_dev * seg
+    wbudget = min(wbudget, chunk)
+    NW = n_dev * wbudget
+    MAXAPP = n_dev * seg + (4 * NW if _PAIR_ROUTE else 0)
     nw_l = (local_n + 7) // 8
 
     @partial(jax.shard_map, mesh=mesh,
@@ -868,6 +1118,11 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
             b1_l[0], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)]
         )
         b1_h = jnp.concatenate([b1_l, halo[None]], axis=0)
+        if _PAIR_ROUTE:
+            halo2 = jax.lax.ppermute(
+                b2_l[0], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+            )
+            b2_h = jnp.concatenate([b2_l, halo2[None]], axis=0)
 
         q = jnp.zeros((queue_cap + MAXAPP, 13), dtype=jnp.int32)
         nf_l = jnp.zeros(nw_l, dtype=jnp.int32)
@@ -935,67 +1190,184 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
             use_hi = b1c == b1c[:, 5][:, None]
             r1 = jnp.where(use_hi[:, :, None], dec_hi, dec_lo)
 
-            # gathered set: side-2 ranks for everything, side-1 for the
-            # wide rows; owned-anchor compaction keeps per-shard decode
-            # O(total/n_dev), one psum combines
-            gall = jax.lax.all_gather(block, AXIS)  # (n_dev, C, 13)
-            gflat = gall.reshape(G, 13)
-            r2_all, r1w_all = jax.lax.psum(
-                (shard.local_parallel_rank_sorted(
-                    b2_l, rows2, gflat[:, 6:12],
-                    budget=max(128, G // 8)),
-                 shard.local_parallel_rank_sorted(
-                     b1_l, rows1, gflat[:, 0:6],
-                     budget=max(128, G // 8))),
-                AXIS,
-            )  # each (G, 6, 4)
-            r2 = jax.lax.dynamic_slice(
-                r2_all.reshape(n_dev, chunk, 6, 4),
-                (sid, 0, 0, 0), (1, chunk, 6, 4),
-            )[0]
-            r1w = jax.lax.dynamic_slice(
-                r1w_all.reshape(n_dev, chunk, 6, 4),
-                (sid, 0, 0, 0), (1, chunk, 6, 4),
-            )[0]
-            wide1 = valid & ~narrow1
-            r1 = jnp.where(wide1[:, None, None], r1w, r1)
+            if _PAIR_ROUTE:
+                # ---- routed formulation: side-2 narrow ranks by query
+                # routing; pairs wide on EITHER side take the budgeted
+                # all_gather + psum dense path -------------------------
+                b2c = jax.lax.shift_right_logical(block[:, 6:12], 7)
+                narrow2 = valid & ((b2c[:, 5] - b2c[:, 0]) <= 1)
+                nrw = narrow1 & narrow2
+                wide = valid & ~nrw
 
-            ext1 = F1[:, None] + jnp.swapaxes(r1, -1, -2)  # (C,4,6)
-            ext2 = F2[:, None] + jnp.swapaxes(r2, -1, -2)
-            depth4 = jnp.broadcast_to(block[:, None, 12:13] + 1,
-                                      (chunk, 4, 1))
-            children = jnp.concatenate([ext1, ext2, depth4], axis=-1)
+                r2, ovf_q = _routed_pair_rank(
+                    b2_h, rows2, block[:, 6:12], nrw,
+                    n_dev=n_dev, sid=sid, qseg=qseg,
+                )
+                ovf = ovf + ovf_q
 
-            # flag entries in merged space -> all_to_all to owners
-            fidx, fval, lcp_v, min_v, da_v = pair_flag_entries(block,
-                                                               valid)
-            fr, n_fr, ovf_f = route(
-                jnp.stack([fidx, fval], axis=-1), fval > 0,
-                jnp.clip(fidx // local_n, 0, n_dev - 1), fseg,
-            )
-            ovf = ovf + ovf_f
-            flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
-            nf_l = t1._flag_scatter(
-                nf_l, jnp.where(flive, fr[:, 0] - base_pos, -1), fr[:, 1],
-            )
+                # wide pairs: all_gather under wbudget; every shard
+                # decodes its local contribution to BOTH sides' dense
+                # ranks, one psum combines (cf. mode-1 wide path)
+                n_wide = jnp.sum(wide.astype(jnp.int32))
+                ovf = ovf + (n_wide > wbudget)
+                iota_c = jnp.arange(chunk, dtype=jnp.int32)
+                wperm = jax.lax.sort(
+                    jnp.where(wide, iota_c, chunk + iota_c))
+                wrows = block[jnp.minimum(wperm[:wbudget], chunk - 1)]
+                wvalid_l = jnp.arange(wbudget, dtype=jnp.int32) < n_wide
+                wrows = jnp.where(wvalid_l[:, None], wrows, 0)
+                wall = jax.lax.all_gather(wrows, AXIS)  # (n_dev, wb, 13)
+                wcnt = jax.lax.all_gather(n_wide, AXIS)
+                wflat = wall.reshape(NW, 13)
+                wsrc = jnp.arange(NW, dtype=jnp.int32) // wbudget
+                wvalid = (jnp.arange(NW, dtype=jnp.int32) % wbudget) < \
+                    wcnt[wsrc]
+                wr1, wr2 = jax.lax.psum(
+                    (shard.local_parallel_rank(b1_l, rows1,
+                                               wflat[:, 0:6]),
+                     shard.local_parallel_rank(b2_l, rows2,
+                                               wflat[:, 6:12])),
+                    AXIS,
+                )  # each (NW, 6, 4)
 
-            # children kept iff >= 2 union children; routed by side-1
-            u1 = ext1[..., 1:6] > ext1[..., 0:5]
-            u2 = ext2[..., 1:6] > ext2[..., 0:5]
-            n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
-            flat_c = children.reshape(M, 13)
-            rq, n_rq, ovf_c = route(
-                flat_c, (valid[:, None] & (n_union >= 2)).reshape(M),
-                jnp.clip(
-                    jax.lax.shift_right_logical(flat_c[:, 0], 7) // rows1,
+                ext1 = F1[:, None] + jnp.swapaxes(r1, -1, -2)  # (C,4,6)
+                ext2 = F2[:, None] + jnp.swapaxes(r2, -1, -2)
+                depth4 = jnp.broadcast_to(block[:, None, 12:13] + 1,
+                                          (chunk, 4, 1))
+                children = jnp.concatenate([ext1, ext2, depth4], axis=-1)
+
+                # narrow flag entries -> all_to_all to owners
+                fidx, fval, lcp_v, min_v, da_v = pair_flag_entries(
+                    block, nrw)
+                fr, n_fr, ovf_f = route(
+                    jnp.stack([fidx, fval], axis=-1), fval > 0,
+                    jnp.clip(fidx // local_n, 0, n_dev - 1), fseg,
+                )
+                ovf = ovf + ovf_f
+                flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
+                nf_l = t1._flag_scatter(
+                    nf_l, jnp.where(flive, fr[:, 0] - base_pos, -1),
+                    fr[:, 1],
+                )
+
+                # wide-row flag entries: every shard sees them all —
+                # scatter the locally-landing ones; stats counted once
+                # (own contributions only)
+                widx, wval, _, _, _ = pair_flag_entries(wflat, wvalid)
+                wlp = widx - base_pos
+                wmine = (wval > 0) & (wlp >= 0) & (wlp < local_n)
+                nf_l = t1._flag_scatter(
+                    nf_l, jnp.where(wmine, wlp, -1), wval)
+                _, _, lcp_w, min_w, da_w = pair_flag_entries(
+                    wflat, wvalid & (wsrc == sid))
+                lcp_v = lcp_v + lcp_w
+                min_v = min_v + min_w
+                da_v = da_v + da_w
+
+                # narrow children routed by side-1 owner
+                u1 = ext1[..., 1:6] > ext1[..., 0:5]
+                u2 = ext2[..., 1:6] > ext2[..., 0:5]
+                n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
+                flat_c = children.reshape(M, 13)
+                rq, n_rq, ovf_c = route(
+                    flat_c, (nrw[:, None] & (n_union >= 2)).reshape(M),
+                    jnp.clip(
+                        jax.lax.shift_right_logical(flat_c[:, 0], 7)
+                        // rows1, 0, n_dev - 1,
+                    ), seg,
+                )
+                ovf = ovf + ovf_c
+                q = jax.lax.dynamic_update_slice(q, rq,
+                                                 (tail, jnp.int32(0)))
+                tail = tail + n_rq
+
+                # wide children: replicated — each shard pushes the ones
+                # it owns
+                wext1 = F1[:, None] + jnp.swapaxes(wr1, -1, -2)
+                wext2 = F2[:, None] + jnp.swapaxes(wr2, -1, -2)
+                wdepth = jnp.broadcast_to(wflat[:, None, 12:13] + 1,
+                                          (NW, 4, 1))
+                wchildren = jnp.concatenate([wext1, wext2, wdepth], -1)
+                wu1 = wext1[..., 1:6] > wext1[..., 0:5]
+                wu2 = wext2[..., 1:6] > wext2[..., 0:5]
+                wch = jnp.sum((wu1 | wu2).astype(jnp.int32), axis=-1)
+                wflat_c = wchildren.reshape(NW * 4, 13)
+                wdest = jnp.clip(
+                    jax.lax.shift_right_logical(wflat_c[:, 0], 7) // rows1,
                     0, n_dev - 1,
-                ), seg,
-            )
-            ovf = ovf + ovf_c
+                )
+                wq, n_wq = t1._compact(
+                    wflat_c,
+                    (wvalid[:, None] & (wch >= 2)).reshape(-1)
+                    & (wdest == sid),
+                )
+                q = jax.lax.dynamic_update_slice(q, wq,
+                                                 (tail, jnp.int32(0)))
+                tail = tail + n_wq
+                head = head + count
+            else:
+                # ---- round-2 A/B formulation: full-chunk all_gather;
+                # side-2 ranks for everything, side-1 for the wide rows;
+                # owned-anchor compaction + one psum ------------------
+                gall = jax.lax.all_gather(block, AXIS)  # (n_dev, C, 13)
+                gflat = gall.reshape(G, 13)
+                r2_all, r1w_all = jax.lax.psum(
+                    (shard.local_parallel_rank_sorted(
+                        b2_l, rows2, gflat[:, 6:12],
+                        budget=max(128, G // 8)),
+                     shard.local_parallel_rank_sorted(
+                         b1_l, rows1, gflat[:, 0:6],
+                         budget=max(128, G // 8))),
+                    AXIS,
+                )  # each (G, 6, 4)
+                r2 = jax.lax.dynamic_slice(
+                    r2_all.reshape(n_dev, chunk, 6, 4),
+                    (sid, 0, 0, 0), (1, chunk, 6, 4),
+                )[0]
+                r1w = jax.lax.dynamic_slice(
+                    r1w_all.reshape(n_dev, chunk, 6, 4),
+                    (sid, 0, 0, 0), (1, chunk, 6, 4),
+                )[0]
+                wide1 = valid & ~narrow1
+                r1 = jnp.where(wide1[:, None, None], r1w, r1)
 
-            q = jax.lax.dynamic_update_slice(q, rq, (tail, jnp.int32(0)))
-            tail = tail + n_rq
-            head = head + count
+                ext1 = F1[:, None] + jnp.swapaxes(r1, -1, -2)  # (C,4,6)
+                ext2 = F2[:, None] + jnp.swapaxes(r2, -1, -2)
+                depth4 = jnp.broadcast_to(block[:, None, 12:13] + 1,
+                                          (chunk, 4, 1))
+                children = jnp.concatenate([ext1, ext2, depth4], axis=-1)
+
+                # flag entries in merged space -> all_to_all to owners
+                fidx, fval, lcp_v, min_v, da_v = pair_flag_entries(block,
+                                                                   valid)
+                fr, n_fr, ovf_f = route(
+                    jnp.stack([fidx, fval], axis=-1), fval > 0,
+                    jnp.clip(fidx // local_n, 0, n_dev - 1), fseg,
+                )
+                ovf = ovf + ovf_f
+                flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
+                nf_l = t1._flag_scatter(
+                    nf_l, jnp.where(flive, fr[:, 0] - base_pos, -1),
+                    fr[:, 1],
+                )
+
+                # children kept iff >= 2 union children; routed by side-1
+                u1 = ext1[..., 1:6] > ext1[..., 0:5]
+                u2 = ext2[..., 1:6] > ext2[..., 0:5]
+                n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
+                flat_c = children.reshape(M, 13)
+                rq, n_rq, ovf_c = route(
+                    flat_c, (valid[:, None] & (n_union >= 2)).reshape(M),
+                    jnp.clip(
+                        jax.lax.shift_right_logical(flat_c[:, 0], 7)
+                        // rows1, 0, n_dev - 1,
+                    ), seg,
+                )
+                ovf = ovf + ovf_c
+                q = jax.lax.dynamic_update_slice(q, rq,
+                                                 (tail, jnp.int32(0)))
+                tail = tail + n_rq
+                head = head + count
 
             stats = (stats[0] + count, stats[1] + lcp_v, stats[2] + min_v,
                      stats[3] + da_v)
@@ -1048,17 +1420,21 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
     ).astype(np.int32))
     qc = max(1 << 16, n // (16 * n_dev))
     sg, fg = seg, fseg
+    qg = max(256, 2 * chunk // n_dev)
+    wb = 512
     while True:
         dif, st_l, ovf = _frontier_leaf_pair_phase(
             mesh, sfm1.blocks, sfm2.blocks, meta_l, rows1=sfm1.rows,
             rows2=sfm2.rows, local_n=local_n, queue_cap=qc, chunk=chunk,
-            seg=sg, fseg=fg, K=K, k_right=k_right,
+            seg=sg, fseg=fg, qseg=qg, wbudget=wb, K=K, k_right=k_right,
         )
         if int(ovf) == 0:
             break
         qc *= 2
         sg *= 2
         fg *= 2
+        qg = min(2 * qg, chunk)
+        wb = min(2 * wb, chunk)
     if int(st_l[2]) >= t1._LANE3_SAFE_DEPTH:
         return ptraverse.navigate_two_bwts_sharded_device(sfm1, sfm2,
                                                           K, k_right)
@@ -1069,17 +1445,21 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
     meta = jnp.asarray(np.concatenate([F1h, F2h, root]).astype(np.int32))
     qc = max(1 << 16, n // (16 * n_dev))
     sg, fg = seg, fseg
+    qg = max(256, 2 * chunk // n_dev)
+    wb = 512
     while True:
         nf_l, st_n, ovf = _frontier_node_pair_phase(
             mesh, sfm1.blocks, sfm2.blocks, meta, rows1=sfm1.rows,
             rows2=sfm2.rows, local_n=local_n, queue_cap=qc, chunk=chunk,
-            seg=sg, fseg=fg, K=K, k_right=k_right,
+            seg=sg, fseg=fg, qseg=qg, wbudget=wb, K=K, k_right=k_right,
         )
         if int(ovf) == 0:
             break
         qc *= 2
         sg *= 2
         fg *= 2
+        qg = min(2 * qg, chunk)
+        wb = min(2 * wb, chunk)
 
     # unpack the per-shard nibble words to the per-position int32 bit
     # layout the existing pair combine consumes

@@ -19,8 +19,82 @@ from __future__ import annotations
 
 import sys
 
+import numpy as np
+
 from ..utils.dna import revcomp
 from .sam2vcf import load_fasta
+
+
+class _KmerIndex:
+    """First-occurrence substring finder over the contigs, replacing the
+    per-record ``str.find`` scan (O(records x genome) — minutes at the
+    40 Mb validation scale) with one sorted k-mer table + binary search
+    per query. Semantics match the linear scan exactly: the hit returned
+    is the first (contig-order, then position) occurrence; queries
+    shorter than k fall back to the linear scan."""
+
+    K = 24
+
+    def __init__(self, genomes: list[tuple[str, str]]):
+        self.genomes = genomes
+        k = self.K
+        tbl = np.full(256, 255, np.uint8)
+        for i, b in enumerate(b"ACGT"):
+            tbl[b] = i
+        keys, cis, poss = [], [], []
+        for ci, (_, g) in enumerate(genomes):
+            c = tbl[np.frombuffer(g.encode("ascii"), np.uint8)]
+            m = len(c) - k + 1
+            if m <= 0:
+                continue
+            key = np.zeros(m, np.uint64)
+            bad = np.zeros(m, bool)
+            for j in range(k):
+                cj = c[j: j + m]
+                bad |= cj > 3
+                key = (key << np.uint64(2)) | (cj & 3).astype(np.uint64)
+            ok = ~bad
+            keys.append(key[ok])
+            poss.append(np.flatnonzero(ok).astype(np.int64))
+            cis.append(np.full(int(ok.sum()), ci, np.int32))
+        if keys:
+            key = np.concatenate(keys)
+            pos = np.concatenate(poss)
+            ci = np.concatenate(cis)
+            order = np.lexsort((pos, ci, key))
+            self._key = key[order]
+            self._pos = pos[order]
+            self._ci = ci[order]
+        else:
+            self._key = np.zeros(0, np.uint64)
+            self._pos = np.zeros(0, np.int64)
+            self._ci = np.zeros(0, np.int32)
+
+    def find(self, s: str):
+        """First (contig, position) whose substring equals s, or None."""
+        k = self.K
+        if len(s) < k:
+            for ci, (_, g) in enumerate(self.genomes):
+                p = g.find(s)
+                if p >= 0:
+                    return ci, p
+            return None
+        q = np.uint64(0)
+        tbl = {"A": 0, "C": 1, "G": 2, "T": 3}
+        for ch in s[:k]:
+            v = tbl.get(ch)
+            if v is None:
+                return None  # index holds only ACGT k-mers
+            q = (q << np.uint64(2)) | np.uint64(v)
+        i = int(np.searchsorted(self._key, q, side="left"))
+        while i < len(self._key) and self._key[i] == q:
+            ci = int(self._ci[i])
+            p = int(self._pos[i])
+            g = self.genomes[ci][1]
+            if g[p: p + len(s)] == s:
+                return ci, p
+            i += 1
+        return None
 
 
 def _parse_header(header: str):
@@ -46,6 +120,7 @@ def _right_len(header: str) -> int:
 def convert(snp_path: str, ref_path: str, out_path: str, log=print) -> dict:
     ref, contigs = load_fasta(ref_path)
     genomes = [(c, ref[c]) for c in contigs]
+    index = _KmerIndex(genomes)
 
     placed = 0
     dropped = 0
@@ -57,10 +132,10 @@ def convert(snp_path: str, ref_path: str, out_path: str, log=print) -> dict:
             return False
         right = dna[-rlen:]
         left = dna[:-rlen]
-        for chrom, g in genomes:
-            p = g.find(right)
-            if p < 0:
-                continue
+        hit = index.find(right)
+        if hit is not None:
+            ci, p = hit
+            chrom, g = genomes[ci]
             if kind == "SNP":
                 if p == 0 or not left:
                     return False
@@ -101,10 +176,10 @@ def convert(snp_path: str, ref_path: str, out_path: str, log=print) -> dict:
             return False
         rcd = revcomp(dna)
         ctx = rcd[:rlen]  # RC of the right context
-        for chrom, g in genomes:
-            q = g.find(ctx)
-            if q < 0:
-                continue
+        hit = index.find(ctx)
+        if hit is not None:
+            ci, q = hit
+            chrom, g = genomes[ci]
             vpos = q + rlen  # 0-based genome position of the variant base
             if kind == "SNP":
                 if vpos >= len(g):

@@ -345,3 +345,50 @@ def test_frontier_work_distribution_scales(rng):
         ), f"hot shard at n_dev={n_dev}: {work.tolist()}"
     # total tree work is independent of mesh size (no replication)
     assert totals[2] == totals[8]
+
+
+def test_pair_route_ab_leg_matches_replicated(rng, monkeypatch):
+    """The EBWT_PAIR_ROUTE=0 (round-2 full-chunk all_gather) formulation
+    must also stay flag-identical — keeps the A/B leg a real test."""
+    from ebwt2indel_tpu.parallel import frontier
+    from ebwt2indel_tpu.parallel import traverse as ptraverse
+
+    monkeypatch.setattr(frontier, "_PAIR_ROUTE", False)
+    mesh = shard.make_mesh(8)
+    pb1 = packing.pack_codes(random_codes(rng, 12000, p_term=0.03))
+    pb2 = packing.pack_codes(random_codes(rng, 11000, p_term=0.03))
+    sfm1 = shard.shard_fm(pb1, mesh)
+    sfm2 = shard.shard_fm(pb2, mesh)
+    fK, fR, fM, fD, _ = frontier.navigate_two_bwts_frontier_device(
+        sfm1, sfm2, 4, 7)
+    eK, eR, eM, eD, _ = ptraverse.navigate_two_bwts_sharded_device(
+        sfm1, sfm2, 4, 7)
+    n = pb1.n + pb2.n
+    for f, e in ((fK, eK), (fR, eR), (fM, eM), (fD, eD)):
+        np.testing.assert_array_equal(np.asarray(f)[:n], np.asarray(e)[:n])
+
+
+def test_pair_route_comm_volume_accounting():
+    """The routed side-2 rank transport's per-step communication is
+    O(chunk) per shard — independent of mesh size — while the all_gather
+    formulation grows linearly with n_dev (VERDICT r2 #4 'Done'
+    criterion). Uses the same byte model the phases implement
+    (frontier.comm_bytes_per_step)."""
+    from ebwt2indel_tpu.parallel import frontier
+
+    chunk = 4096
+    for k, w in ((6, 13), (2, 5)):  # node-pair, leaf-pair row shapes
+        prev_routed = None
+        for n_dev in (2, 4, 8, 16, 64):
+            qseg = max(256, 2 * chunk // n_dev)
+            routed = frontier.comm_bytes_per_step(
+                n_dev, chunk, k, w, qseg, routed=True)
+            gathered = frontier.comm_bytes_per_step(
+                n_dev, chunk, k, w, qseg, routed=False)
+            assert routed < gathered
+            # routed volume is flat in n_dev (qseg shrinks as mesh grows)
+            if prev_routed is not None and n_dev <= 32:
+                assert routed <= prev_routed * 1.01
+            prev_routed = routed
+        # at pod scale the gap is an order of magnitude+
+        assert gathered > 10 * routed
