@@ -212,6 +212,11 @@ def _unpack_flags(nf, n: int):
     return (jax.lax.shift_right_logical(nf[:, None], sh) & 15).reshape(-1)[:n]
 
 
+# positions above this can't ride the (pos << 4 | val) packed sort key;
+# module-level so tests can force the any-n iota path at small scale
+_FLAG_PACK_LIMIT = (1 << 28) - 8
+
+
 def _flag_scatter_compact(nf, borders, vals):
     """_flag_scatter fed by sort-compacted slices.
 
@@ -222,44 +227,60 @@ def _flag_scatter_compact(nf, borders, vals):
     and sink) costs ~1 ms/1M; budget-sized slices of the real prefix then
     feed the scatter through a data-dependent inner loop — one iteration
     for typical chunks. The packing needs position < 2^28; larger inputs
-    (near the 2^31 single-shard limit) take the direct scatter, selected
-    statically from nf's shape. Multi-operand payload sorts and a
-    phase-long entry log were both measured slower (~12 ns/element and a
+    (up to the 2^31 single-run limit) sort keep-tagged iotas instead and
+    gather (position, value) at the kept prefix per slice — two extra
+    cheap 1-D gathers, any-n exact (the earlier direct-scatter fallback
+    paid ~9 ns per SLOT: +13 ms/chunk at n=350M, node phase 31.9 s vs
+    the expected ~18 s). Multi-operand payload sorts and a phase-long
+    entry log were both measured slower (~12 ns/element and a
     non-aliased while-carry copy, node phase 21 s — docs/PERF.md)."""
     m = borders.shape[0]
-    if nf.shape[0] * 8 >= (1 << 28) - 8:
-        return _flag_scatter(nf, jnp.where(vals > 0, borders, -1), vals)
-    key = jnp.where(
-        vals > 0,
-        (borders.astype(jnp.uint32) << 4) | vals.astype(jnp.uint32),
-        jnp.uint32(0xFFFFFFFF),
-    )
-    skey = jax.lax.sort(key)
-    budget = max(256, m // 8)
-    pad = (-m) % budget
-    if pad:
-        skey = jnp.concatenate(
-            [skey, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]
-        )
     n_real = jnp.sum((vals > 0).astype(jnp.int32))
     dummy = jnp.int32(nf.shape[0] * 8)
+    budget = max(256, m // 8)
     ar = jnp.arange(budget, dtype=jnp.int32)
+    packed = nf.shape[0] * 8 < _FLAG_PACK_LIMIT
+
+    if packed:
+        key = jnp.where(
+            vals > 0,
+            (borders.astype(jnp.uint32) << 4) | vals.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        skey = jax.lax.sort(key)
+        pad = (-m) % budget
+        if pad:
+            skey = jnp.concatenate(
+                [skey, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]
+            )
+    else:
+        iota = jnp.arange(m, dtype=jnp.int32)
+        sidx = jax.lax.sort(jnp.where(vals > 0, iota, m + iota))
+        pad = (-m) % budget
+        if pad:
+            sidx = jnp.concatenate([sidx, jnp.full(pad, m, jnp.int32)])
 
     def wcond(state):
         return state[0] * budget < n_real
 
     def wstep(state):
         it, nf = state
-        sl = jax.lax.dynamic_slice(skey, (it * budget,), (budget,))
         live = it * budget + ar < n_real
-        pos = jnp.where(
-            live,
-            jax.lax.shift_right_logical(sl, jnp.uint32(4)).astype(jnp.int32),
-            dummy,
-        )
-        return it + 1, _flag_scatter(
-            nf, pos, (sl & jnp.uint32(15)).astype(jnp.int32)
-        )
+        if packed:
+            sl = jax.lax.dynamic_slice(skey, (it * budget,), (budget,))
+            pos = jnp.where(
+                live,
+                jax.lax.shift_right_logical(
+                    sl, jnp.uint32(4)).astype(jnp.int32),
+                dummy,
+            )
+            val = (sl & jnp.uint32(15)).astype(jnp.int32)
+        else:
+            sel = jax.lax.dynamic_slice(sidx, (it * budget,), (budget,))
+            sel = jnp.minimum(sel, m - 1)
+            pos = jnp.where(live, borders[sel], dummy)
+            val = vals[sel]
+        return it + 1, _flag_scatter(nf, pos, val)
 
     _, nf = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), nf))
     return nf

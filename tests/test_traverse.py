@@ -259,3 +259,27 @@ def test_ramp_loop_equivalence(rng, monkeypatch):
         assert a.stats["nodes"] == b.stats["nodes"]
         assert a.stats["lcp_values"] == b.stats["lcp_values"]
     np.testing.assert_array_equal(np.asarray(on2.da), np.asarray(off2.da))
+
+
+def test_flag_scatter_compact_big_n_path(rng, monkeypatch):
+    """The any-n iota-sort flag compaction (taken when positions exceed
+    the packed-key bound, e.g. n >= 2^28) must scatter identically to the
+    packed-key path and the direct scatter."""
+    import jax.numpy as jnp
+
+    from ebwt2indel_tpu.models import traverse as T
+
+    nw = 4096  # 32768 positions
+    borders = rng.integers(0, nw * 8, size=5000).astype(np.int32)
+    vals = rng.integers(0, 16, size=5000).astype(np.int32)
+    nf0 = jnp.zeros(nw, jnp.int32)
+    want = np.asarray(T._flag_scatter(
+        nf0, jnp.asarray(np.where(vals > 0, borders, -1)),
+        jnp.asarray(vals)))
+    got_packed = np.asarray(T._flag_scatter_compact(
+        nf0, jnp.asarray(borders), jnp.asarray(vals)))
+    monkeypatch.setattr(T, "_FLAG_PACK_LIMIT", 1)
+    got_iota = np.asarray(T._flag_scatter_compact(
+        nf0, jnp.asarray(borders), jnp.asarray(vals)))
+    np.testing.assert_array_equal(got_packed, want)
+    np.testing.assert_array_equal(got_iota, want)
