@@ -736,32 +736,35 @@ def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, donate_argnums=(2,),
-         static_argnames=("body", "queue_cap", "chunk", "K", "k_right"))
-def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
-    """Run a full traversal phase inside one lax.while_loop.
+@partial(jax.jit, donate_argnums=(1, 2),
+         static_argnames=("body", "w", "chunk", "K", "k_right",
+                          "max_iters", "with_ramp"))
+def _queue_phase_dispatch(fms, q, flags, head, tail, stats, maxp, *, body,
+                          w, chunk, K, k_right, max_iters, with_ramp):
+    """Run up to ``max_iters`` chunk steps of a traversal phase in ONE
+    device dispatch, returning the resumable state.
 
-    fms: tuple of FMIndex; init: (k, w) initial queue rows; flags: tuple of
-    flag arrays threaded through the body (updated in place by XLA inside the
-    loop). ``body`` must be a module-level function (stable jit cache key).
-    Returns (flags, stats(4,), overflow flag, max_pending).
+    Bounded dispatches serve three masters: (a) the remote TPU service
+    kills executions past ~1 minute (the 1G node phase — a ~2 min single
+    while_loop — reproducibly crashed the worker; 350M at ~36 s ran),
+    (b) the state at a dispatch boundary IS the traversal checkpoint
+    (queue rows + flags + counters — EBWT_CKPT in _run_phase), and
+    (c) progress is observable between dispatches. q and flags are
+    donated — the state updates in place across dispatches.
+
+    fms: tuple of FMIndex; q: flattened row-major queue; flags: tuple of
+    flag arrays threaded through the body. ``body`` must be a
+    module-level function (stable jit cache key). Returns
+    (q, head, tail, overflow, flags, stats(4,), max_pending).
     """
-    w = init.shape[1]
-    # the queue is stored FLATTENED (1-D, row-major): a 2-D (rows, w)
-    # int32 array is tiled to (8, 128) on TPU, padding the minor dim from
-    # w to 128 — at n=1G the (33.9M, 3) leaf queue alone would be 17.3 GB
-    # of HBM (the driver-observed compile OOM); flat it is 0.41 GB.
-    # head/tail stay in ROW units; only slice offsets scale by w.
-    q = jnp.zeros((queue_cap + 4 * chunk) * w, dtype=jnp.int32)
-    q = jax.lax.dynamic_update_slice(q, init.reshape(-1), (0,))
 
     def cond(state):
-        _, head, tail, overflow, _, _, _ = state
-        return (head < tail) & ~overflow
+        _, head, tail, overflow, _, _, _, it = state
+        return (head < tail) & ~overflow & (it < max_iters)
 
     def make_step(C: int):
         def step(state):
-            q, head, tail, overflow, flags, stats, maxp = state
+            q, head, tail, overflow, flags, stats, maxp, it = state
             # reclaim consumed queue space: when the next append could
             # overrun the buffer, shift the pending region [head, tail)
             # back to offset 0 (amortized O(C) per step)
@@ -840,55 +843,120 @@ def _queue_phase(fms, init, flags, *, body, queue_cap, chunk, K, k_right):
                     "[progress] processed {p} items, {w} pending",
                     p=stats[0], w=tail - head, ordered=False,
                 )
-            return q, head, tail, overflow, flags, stats, maxp
+            return q, head, tail, overflow, flags, stats, maxp, it + 1
 
         return step
 
-    stats0 = (jnp.int32(0),) * 4
-    state = (q, jnp.int32(0), jnp.int32(init.shape[0]), jnp.bool_(False),
-             flags, stats0, jnp.int32(init.shape[0]))
+    stats_t = tuple(stats[i] for i in range(4))
+    state = (q, head, tail, jnp.bool_(False), flags, stats_t, maxp,
+             jnp.int32(0))
 
-    if _RAMP and chunk > 4 * _RAMP:
-        # ramp loop (same program, same queue): hand off to the big-chunk
-        # loop once the frontier can utilize it, or after a bounded amount
-        # of work so mid-size phases don't crawl at ramp granularity
+    if with_ramp and _RAMP and chunk > 4 * _RAMP:
+        # ramp loop (same program, same queue; first dispatch only): hand
+        # off to the big-chunk loop once the frontier can utilize it, or
+        # after a bounded amount of work so mid-size phases don't crawl
+        # at ramp granularity
         ramp_limit = min(chunk, 16 * _RAMP)
         ramp_work = 32 * _RAMP
 
         def rcond(state):
-            _, head, tail, overflow, _, stats, _ = state
+            _, head, tail, overflow, _, stats, _, _ = state
             return ((head < tail) & ~overflow
                     & ((tail - head) <= ramp_limit)
                     & (stats[0] < ramp_work))
 
         state = jax.lax.while_loop(rcond, make_step(_RAMP), state)
 
-    q, head, tail, overflow, flags, stats, maxp = jax.lax.while_loop(
+    q, head, tail, overflow, flags, stats, maxp, _ = jax.lax.while_loop(
         cond, make_step(chunk), state
     )
-    return flags, jnp.stack(stats), overflow, maxp
+    return q, head, tail, overflow, flags, jnp.stack(stats), maxp
+
+
+# chunk steps per device dispatch: large enough that dispatch overhead
+# vanishes (<=1% at 116M), small enough that one dispatch stays well
+# under the remote service's ~1-minute execution kill (node chunks cost
+# 17-50 ms, so 256 iters tops out near ~13 s)
+_DISPATCH_ITERS = int(_os.environ.get("EBWT_DISPATCH_ITERS", 256))
+
+
+def _ckpt_path(ckpt_dir: str, body) -> str:
+    return _os.path.join(ckpt_dir, f"phase_{body.__name__}.npz")
 
 
 def _run_phase(fms, init_np, flags_factory, body, n_hint, K, k_right):
-    """Host wrapper: run a queue phase, doubling the queue on overflow.
+    """Host wrapper: run a queue phase as a sequence of bounded device
+    dispatches, doubling the queue on overflow.
 
     The queue bound is conservative (#pending nodes stays far below n in
     practice: 1.69M at n=116M). Flag updates are not idempotent across a
     partial run (the diff arrays use +/-1 adds), so flags enter as a
-    FACTORY producing pristine zeros: _queue_phase donates its flag
-    buffers (they are the largest arrays of the program — not donating
+    FACTORY producing pristine zeros: the dispatch donates its queue and
+    flag buffers (the largest arrays of the program — not donating
     doubled the 4.2 GB dif at n=1G, breaching HBM at compile time) and an
     overflow retry simply makes fresh ones.
+
+    Checkpoint/resume (SURVEY.md §5): the dispatch-boundary state (queue
+    + flags + counters) is saved to EBWT_CKPT_DIR every EBWT_CKPT_EVERY
+    dispatches and resumed from on the next run — the traversal-phase
+    resume unit for multi-hour pod runs.
     """
     queue_cap = max(1 << 21, n_hint // 32)  # bounds *pending* nodes only —
     # consumed queue space is reclaimed in-loop; doubles on real overflow
+    init = np.asarray(init_np.astype(np.int32))
+    w = init.shape[1]
+    ckpt_dir = _os.environ.get("EBWT_CKPT_DIR")
+    ckpt_every = int(_os.environ.get("EBWT_CKPT_EVERY", 0))
+
     while True:
-        out_flags, stats, overflow, maxp = _queue_phase(
-            fms, jnp.asarray(init_np.astype(np.int32)), flags_factory(),
-            body=body, queue_cap=queue_cap, chunk=CHUNK, K=K, k_right=k_right,
-        )
+        head = jnp.int32(0)
+        tail = jnp.int32(init.shape[0])
+        stats = jnp.zeros(4, jnp.int32)
+        maxp = jnp.int32(init.shape[0])
+        q = jnp.zeros((queue_cap + 4 * CHUNK) * w, dtype=jnp.int32)
+        q = q.at[: init.size].set(init.reshape(-1))
+        flags = flags_factory()
+        first = True
+
+        if ckpt_dir and _os.path.isfile(_ckpt_path(ckpt_dir, body)):
+            z = np.load(_ckpt_path(ckpt_dir, body))
+            if int(z["queue_rows"]) * w == int(q.shape[0]):
+                head = jnp.int32(int(z["head"]))
+                tail = jnp.int32(int(z["tail"]))
+                stats = jnp.asarray(z["stats"])
+                maxp = jnp.int32(int(z["maxp"]))
+                q = jnp.asarray(z["q"])
+                flags = tuple(
+                    jnp.asarray(z[f"flag{i}"]) for i in range(len(flags))
+                )
+                first = False
+
+        d = 0
+        while True:
+            q, head, tail, overflow, flags, stats, maxp = \
+                _queue_phase_dispatch(
+                    fms, q, flags, head, tail, stats, maxp, body=body,
+                    w=w, chunk=CHUNK, K=K, k_right=k_right,
+                    max_iters=_DISPATCH_ITERS, with_ramp=first,
+                )
+            first = False
+            d += 1
+            if bool(overflow) or int(head) >= int(tail):
+                break
+            if ckpt_dir and ckpt_every and d % ckpt_every == 0:
+                _os.makedirs(ckpt_dir, exist_ok=True)
+                np.savez(
+                    _ckpt_path(ckpt_dir, body),
+                    q=np.asarray(q), head=int(head), tail=int(tail),
+                    stats=np.asarray(stats), maxp=int(maxp),
+                    queue_rows=q.shape[0] // w,
+                    **{f"flag{i}": np.asarray(f)
+                       for i, f in enumerate(flags)},
+                )
         if not bool(overflow):
-            return out_flags, np.asarray(stats), int(maxp)
+            if ckpt_dir and _os.path.isfile(_ckpt_path(ckpt_dir, body)):
+                _os.remove(_ckpt_path(ckpt_dir, body))
+            return flags, np.asarray(stats), int(maxp)
         queue_cap *= 2
 
 

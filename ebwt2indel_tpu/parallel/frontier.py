@@ -680,6 +680,13 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
         fb *= 2
         sg *= 2
     if int(st_l[2]) >= t1._LANE_SAFE_DEPTH:
+        import sys as _sys
+
+        print(f"[ebwt2indel] warning: leaf depth {int(st_l[2])} >= "
+              f"{t1._LANE_SAFE_DEPTH}: falling back to the "
+              "replicated-queue sharded navigation (exact at any depth, "
+              "but queue machinery no longer scales ~1/n_dev)",
+              file=_sys.stderr)
         return ptraverse.navigate_one_bwt_sharded_device(sfm, K, k_right)
 
     wb, fb, sg, qc = wbudget, fbudget, seg, queue_cap
@@ -1436,6 +1443,13 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
         qg = min(2 * qg, chunk)
         wb = min(2 * wb, chunk)
     if int(st_l[2]) >= t1._LANE3_SAFE_DEPTH:
+        import sys as _sys
+
+        print(f"[ebwt2indel] warning: pair leaf depth {int(st_l[2])} >= "
+              f"{t1._LANE3_SAFE_DEPTH}: falling back to the "
+              "replicated-queue sharded pair navigation (exact at any "
+              "depth, but queue machinery no longer scales ~1/n_dev)",
+              file=_sys.stderr)
         return ptraverse.navigate_two_bwts_sharded_device(sfm1, sfm2,
                                                           K, k_right)
 

@@ -331,26 +331,41 @@ def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
 
     cfg = cfg.resolved()
     log("Phase 1/4: loading and indexing eBWT ... ")
-    codes = packing.read_ebwt_codes(cfg.input1, cfg.term)
+    # sharded loader: this process packs only the byte ranges its devices
+    # own, for BOTH indexes — the DA-masked second index reads the two
+    # memmaps per range and masks on the fly (DA=0 characters replaced by
+    # TERM, SURVEY.md §7 layer 5), so no process materializes any O(n)
+    # derived string
+    import os as _osm
 
-    # DA-side work (DA read + TERM-masked second sharded index) is
-    # independent of navigation — build it in a worker so it hides behind
-    # phases 2-3 (cf. the single-device pipeline)
-    from concurrent.futures import ThreadPoolExecutor
+    n_file = _osm.path.getsize(cfg.input1)
+    raw_mm = np.memmap(cfg.input1, dtype=np.uint8, mode="r")
+    da_mm = np.memmap(cfg.input_da, dtype=np.uint8, mode="r")
 
-    def _da_side():
-        da_h = packing.read_da_file(cfg.input_da, codes.shape[0])
-        # rank structure over the DA=1 side: DA=0 characters replaced by
-        # TERM (SURVEY.md §7 layer 5) — a second sharded index
-        codes_da1 = np.where(da_h != 0, codes, np.uint8(dna.TERM_CODE))
-        return da_h, shard.shard_fm(packing.pack_codes(codes_da1, cfg.term),
-                                    mesh)
+    def _masked(lo, hi):
+        return np.where(da_mm[lo:hi] == ord("1"), raw_mm[lo:hi],
+                        np.uint8(cfg.term))
 
-    _ex = ThreadPoolExecutor(1)
-    da_fut = _ex.submit(_da_side)
-    pb = packing.pack_codes(codes, cfg.term)
-    sfm = shard.shard_fm(pb, mesh)
+    def _build_da1():
+        return shard.shard_fm_from_loader(_masked, n_file, mesh, cfg.term)
+
+    if jax.process_count() > 1:
+        # the loader's totals-allgather is a collective — serialize the
+        # two index builds across processes (cf. run_two_datasets_sharded)
+        sfm = shard.shard_fm_from_file(cfg.input1, mesh, cfg.term)
+        sfm_da1_now = _build_da1()
+        da_fut = None
+    else:
+        # single process: hide the DA-side build behind navigation
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ex = ThreadPoolExecutor(1)
+        da_fut = _ex.submit(_build_da1)
+        sfm_da1_now = None
+        sfm = shard.shard_fm_from_file(cfg.input1, mesh, cfg.term)
     log("done.")
+    log(f"[loader] process {jax.process_index()} packed "
+        f"{sfm.local_bytes}/{sfm.n} input bytes")
 
     log(f"\nPhase 2-3/4: suffix-tree wavefront navigation "
         f"({mesh.devices.size}-device mesh).")
@@ -358,25 +373,41 @@ def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
         _nav_one(sfm, cfg.K, cfg.k_right)
     st_l = np.asarray(st_l)
     st_n = np.asarray(st_n)
-    log(f"Computed {1 + int(st_l[1]) + int(st_n[1])}/{pb.n} LCP values.")
+    log(f"Computed {1 + int(st_l[1]) + int(st_n[1])}/{sfm.n} LCP values.")
     log(f"Found {int(st_n[2])} LCP minima.\n")
 
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    da_h, sfm_da1 = da_fut.result()
-    pad_n = local_n * mesh.devices.size
-    da_pad = np.zeros(pad_n, bool)
-    da_pad[: pb.n] = da_h != 0
-    da = jax.device_put(
-        da_pad, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec(shard.AXIS)))
+    sfm_da1 = sfm_da1_now if da_fut is None else da_fut.result()
+
+    # DA bits, local_n-partitioned: each process builds only the slices
+    # its devices own (read straight off the DA memmap)
+    n_dev = mesh.devices.size
+    pad_n = local_n * n_dev
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(shard.AXIS))
+    devs = list(mesh.devices.flat)
+    my_proc = jax.process_index()
+    local_ids = [s for s, d in enumerate(devs)
+                 if d.process_index == my_proc]
+    local_da = np.zeros(len(local_ids) * local_n, bool)
+    for k, s in enumerate(local_ids):
+        lo = min(s * local_n, n_file)
+        hi = min((s + 1) * local_n, n_file)
+        local_da[k * local_n: k * local_n + (hi - lo)] = \
+            da_mm[lo:hi] == ord("1")
+    if jax.process_count() > 1:
+        da = jax.make_array_from_process_local_data(sharding, local_da,
+                                                    (pad_n,))
+    else:
+        da = jax.device_put(local_da, sharding)
     da_cs, da_tot = calling.bv_build_sharded(mesh, da)
 
     next_thr = calling.next_set_table_sharded(mesh, thr_R,
-                                              local_n=local_n, n=pb.n)
+                                              local_n=local_n, n=sfm.n)
     cl = calling.find_clusters_sharded(
-        mesh, thr_K, minima, local_n=local_n, n=pb.n, mcov_out=cfg.mcov_out
+        mesh, thr_K, minima, local_n=local_n, n=sfm.n, mcov_out=cfg.mcov_out
     )
 
     stats = _call_and_emit_pair_mode3_sharded(

@@ -102,26 +102,40 @@ def shard_fm_from_file(path: str, mesh: Mesh, term: int = ord("#"),
                        n_threads: int = 2) -> ShardedFM:
     """Build a ShardedFM by packing ONLY the byte ranges this process's
     devices own — the sharded loader (SURVEY.md §2.5 "BWT split into
-    contiguous shards per host"; VERDICT r2 missing #1/#3).
-
-    Per device-shard: pack its block-row range with range-local counters
-    (ops.packing.pack_file_range, memmap-backed so only those pages are
-    read), allgather the tiny (n_dev, 5) per-shard char totals across
-    processes, exscan them into per-shard base counts, and add the base to
-    make counters absolute. The packed rows then assemble into the global
-    sharded array with jax.make_array_from_process_local_data — no process
-    ever materializes (or even reads) more than its 1/n_procs slice of a
-    multi-GB input. Single-process meshes take the same path (the
-    allgather degenerates) with the per-shard packs spread over a small
-    thread pool. ShardedFM.local_bytes records how much of the input this
-    process actually read.
-    """
+    contiguous shards per host"; VERDICT r2 missing #1/#3). Memmap-backed:
+    only the owned pages are ever read."""
     import os
+
+    n = os.path.getsize(path)
+    data = np.memmap(path, dtype=np.uint8, mode="r")
+    return shard_fm_from_loader(lambda lo, hi: data[lo:hi], n, mesh, term,
+                                n_threads=n_threads)
+
+
+def shard_fm_from_loader(loader, n: int, mesh: Mesh, term: int = ord("#"),
+                         n_threads: int = 2) -> ShardedFM:
+    """shard_fm_from_file over an arbitrary byte-range source.
+
+    ``loader(lo_char, hi_char) -> uint8 array`` supplies characters of
+    the (possibly derived) input — e.g. mode 3's DA-masked second index
+    reads two memmaps and masks on the fly, never materializing the full
+    O(n) masked string per process.
+
+    Per device-shard: pack its block-row range with range-local counters,
+    allgather the tiny (n_dev, 5) per-shard char totals across processes,
+    exscan them into per-shard base counts, and add the base to make
+    counters absolute. The packed rows then assemble into the global
+    sharded array with jax.make_array_from_process_local_data — no
+    process ever materializes (or even reads) more than its 1/n_procs
+    slice of a multi-GB input. Single-process meshes take the same path
+    (the allgather degenerates) with the per-shard packs spread over a
+    small thread pool. ShardedFM.local_bytes records how much of the
+    input this process actually read.
+    """
     from concurrent.futures import ThreadPoolExecutor
 
     from ..ops import packing as pk
 
-    n = os.path.getsize(path)
     n_dev = mesh.devices.size
     ranges = pk.shard_row_ranges(n, n_dev)
     n_blocks = n // 128 + 1
@@ -132,12 +146,18 @@ def shard_fm_from_file(path: str, mesh: Mesh, term: int = ord("#"),
     local_ids = [s for s, d in enumerate(devs)
                  if d.process_index == my_proc]
 
+    def _pack(s):
+        row_lo, row_hi = ranges[s]
+        if row_hi <= row_lo:
+            return pk.pack_bytes_range(np.zeros(0, np.uint8), row_lo, 0,
+                                       term)
+        lo_char = row_lo * pk.BLOCK
+        hi_char = min(row_hi * pk.BLOCK, n)
+        return pk.pack_bytes_range(loader(lo_char, hi_char), row_lo,
+                                   row_hi - row_lo, term)
+
     with ThreadPoolExecutor(max(1, n_threads)) as ex:
-        packs = dict(zip(local_ids, ex.map(
-            lambda s: pk.pack_file_range(path, ranges[s][0], ranges[s][1],
-                                         n, term),
-            local_ids,
-        )))
+        packs = dict(zip(local_ids, ex.map(_pack, local_ids)))
     local_bytes = sum(
         (min(ranges[s][1] * pk.BLOCK, n) - ranges[s][0] * pk.BLOCK)
         for s in local_ids if ranges[s][1] > ranges[s][0]

@@ -155,12 +155,17 @@ def test_queue_roll_reclaim_matches_large_queue(rng):
     init = jnp.asarray(fm.root()[None, :].astype(np.int32))
 
     def run(cap):
-        nf = jnp.zeros(T._flag_words(n), jnp.int32)
-        (nf,), stats, overflow, maxp = T._queue_phase(
-            (fm,), init, (nf,), body=T._node_body, queue_cap=cap,
-            chunk=T.CHUNK, K=5, k_right=8,
-        )
+        q = jnp.zeros((cap + 4 * T.CHUNK) * 7, jnp.int32)
+        q = q.at[:7].set(init.reshape(-1))
+        q, head, tail, overflow, (nf,), stats, maxp = \
+            T._queue_phase_dispatch(
+                (fm,), q, (jnp.zeros(T._flag_words(n), jnp.int32),),
+                jnp.int32(0), jnp.int32(1), jnp.zeros(4, jnp.int32),
+                jnp.int32(1), body=T._node_body, w=7, chunk=T.CHUNK,
+                K=5, k_right=8, max_iters=1 << 30, with_ramp=True,
+            )
         assert not bool(overflow), cap
+        assert int(head) >= int(tail)
         return np.asarray(nf), np.asarray(stats)
 
     big_nf, big_stats = run(1 << 21)
@@ -244,10 +249,10 @@ def test_ramp_loop_equivalence(rng, monkeypatch):
     on1 = traverse.navigate_one_bwt(fm, 5, 8)
     on2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
     monkeypatch.setattr(T, "_RAMP", 0)
-    T._queue_phase.clear_cache()  # _RAMP is baked in at trace time
+    T._queue_phase_dispatch.clear_cache()  # _RAMP is baked in at trace time
     off1 = traverse.navigate_one_bwt(fm, 5, 8)
     off2 = traverse.navigate_two_bwts(fm, fm2, 4, 6)
-    T._queue_phase.clear_cache()
+    T._queue_phase_dispatch.clear_cache()
     for a, b in ((on1, off1), (on2, off2)):
         np.testing.assert_array_equal(np.asarray(a.thr_K),
                                       np.asarray(b.thr_K))
@@ -283,3 +288,60 @@ def test_flag_scatter_compact_big_n_path(rng, monkeypatch):
         nf0, jnp.asarray(borders), jnp.asarray(vals)))
     np.testing.assert_array_equal(got_packed, want)
     np.testing.assert_array_equal(got_iota, want)
+
+
+def test_bounded_dispatch_and_checkpoint_resume(tmp_path, rng, monkeypatch):
+    """Multi-dispatch execution (tiny EBWT_DISPATCH_ITERS) must produce
+    identical flags to a single-dispatch run, and a phase interrupted at
+    a checkpoint must resume to the same result (SURVEY.md §5 traversal
+    checkpoint)."""
+    from ebwt2indel_tpu.models import traverse as T
+
+    genome = "".join(rng.choice(list("ACGT"), size=400))
+    reads = oracle.random_reads(rng, 40, 40, mutate_from=genome)
+    fm, codes = build_fm(reads)
+
+    want = T.navigate_one_bwt(fm, 5, 8)
+
+    # small chunks + no ramp so the tiny input spans many dispatches
+    monkeypatch.setattr(T, "_DISPATCH_ITERS", 2)
+    monkeypatch.setattr(T, "CHUNK", 64)
+    monkeypatch.setattr(T, "_RAMP", 0)
+    got = T.navigate_one_bwt(fm, 5, 8)
+    np.testing.assert_array_equal(np.asarray(got.thr_K),
+                                  np.asarray(want.thr_K))
+    np.testing.assert_array_equal(np.asarray(got.minima),
+                                  np.asarray(want.minima))
+    assert got.stats == want.stats
+
+    # checkpoint every dispatch; interrupt by raising inside the body via
+    # a dispatch-count trip wire, then resume from the saved state
+    monkeypatch.setenv("EBWT_CKPT_DIR", str(tmp_path))
+    monkeypatch.setenv("EBWT_CKPT_EVERY", "1")
+    real_dispatch = T._queue_phase_dispatch
+    calls = {"n": 0}
+
+    def tripwire(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt("simulated preemption")
+        return real_dispatch(*a, **k)
+
+    monkeypatch.setattr(T, "_queue_phase_dispatch", tripwire)
+    try:
+        T.navigate_one_bwt(fm, 5, 8)
+        raise AssertionError("tripwire did not fire")
+    except KeyboardInterrupt:
+        pass
+    import os as _o
+
+    assert any(f.startswith("phase_") for f in _o.listdir(tmp_path))
+    monkeypatch.setattr(T, "_queue_phase_dispatch", real_dispatch)
+    resumed = T.navigate_one_bwt(fm, 5, 8)
+    np.testing.assert_array_equal(np.asarray(resumed.thr_K),
+                                  np.asarray(want.thr_K))
+    np.testing.assert_array_equal(np.asarray(resumed.thr_R),
+                                  np.asarray(want.thr_R))
+    np.testing.assert_array_equal(np.asarray(resumed.minima),
+                                  np.asarray(want.minima))
+    assert not any(f.startswith("phase_") for f in _o.listdir(tmp_path))
