@@ -147,22 +147,37 @@ def ref_args(mode: int, paths, out_path: str) -> list[str]:
 
 
 def bench_mode(mode: int, paths, n_positions: int, ref: str | None) -> dict:
+    # min-of-N on BOTH sides so the reported ratio survives re-measurement
+    # on a shared host (observed run-to-run spread is ~±20%); the spread
+    # is logged next to each min. Reference repeats default lower for the
+    # pair modes, whose single-thread runs take ~6 min each at 116M.
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    ref_repeats = int(os.environ.get(
+        "BENCH_REF_REPEATS", 2 if mode == 1 else 1))
+
     ours_out = os.path.join(DATA, f"ours_m{mode}.snp")
     log(f"[bench] mode {mode}: warmup run (compilation) ...")
     t_warm = run_ours(mode, paths, ours_out)
-    log(f"[bench] mode {mode}: warmup {t_warm:.2f}s; timed run ...")
-    t_ours = run_ours(mode, paths, ours_out)
-    log(f"[bench] mode {mode}: ours {t_ours:.2f}s "
+    log(f"[bench] mode {mode}: warmup {t_warm:.2f}s; "
+        f"{repeats} timed runs ...")
+    ours_times = [run_ours(mode, paths, ours_out) for _ in range(repeats)]
+    t_ours = min(ours_times)
+    log(f"[bench] mode {mode}: ours min {t_ours:.2f}s of "
+        f"{[round(t, 2) for t in ours_times]} "
         f"({n_positions / t_ours / 1e6:.2f} Mpos/s)")
 
     vs_baseline = None
     if ref:
         ref_out = os.path.join(DATA, f"ref_m{mode}.snp")
-        t0 = time.perf_counter()
-        subprocess.run([ref] + ref_args(mode, paths, ref_out), check=True,
-                       capture_output=True)
-        t_ref = time.perf_counter() - t0
-        log(f"[bench] mode {mode}: reference {t_ref:.2f}s "
+        ref_times = []
+        for _ in range(ref_repeats):
+            t0 = time.perf_counter()
+            subprocess.run([ref] + ref_args(mode, paths, ref_out),
+                           check=True, capture_output=True)
+            ref_times.append(time.perf_counter() - t0)
+        t_ref = min(ref_times)
+        log(f"[bench] mode {mode}: reference min {t_ref:.2f}s of "
+            f"{[round(t, 2) for t in ref_times]} "
             f"({n_positions / t_ref / 1e6:.2f} Mpos/s)")
         parity = open(ours_out, "rb").read() == open(ref_out, "rb").read()
         log(f"[bench] mode {mode}: parity "
