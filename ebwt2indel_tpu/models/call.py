@@ -185,14 +185,18 @@ def right_anchor_table(thr_R_dev):
 @partial(jax.jit, static_argnames=("n",))
 def _anchor_from_words(words, *, n: int):
     """(words, T): per-block next-set table T[b] = smallest set position
-    >= 128*b (n if none), T has nb+1 entries (T[nb] = n)."""
-    nb = words.shape[0]
+    >= 128*b (n if none), T has nb+1 entries (T[nb] = n). words is the
+    FLAT (nb*4,) layout of ops.bits.bv_build; all intermediates stay 1-D
+    (a (nb, 4) u32 array tiles to 128 lanes on TPU — 32x HBM at n=1G)."""
+    nb = words.shape[0] // 4
     low = words & (~words + jnp.uint32(1))  # lowest set bit per word
     bitidx = jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
-    fiw = jnp.where(words != 0,
-                    bitidx + (jnp.arange(4, dtype=jnp.int32) * 32)[None, :],
-                    jnp.int32(1) << 30)
-    first = jnp.min(fiw, axis=1)  # (nb,) 0..127 or 2^30
+    fiw = jnp.where(words != 0, bitidx, jnp.int32(1) << 30)
+    # min over each block's 4 words, offsetting word slot w by 32*w
+    first = jnp.minimum(
+        jnp.minimum(fiw[0::4], fiw[1::4] + 32),
+        jnp.minimum(fiw[2::4] + 64, fiw[3::4] + 96),
+    )  # (nb,) 0..127 or >= 2^30
     blk_first = jnp.where(
         first < (1 << 30),
         jnp.arange(nb, dtype=jnp.int32) * 128 + first, jnp.int32(n),
@@ -208,10 +212,12 @@ def first_thr_position_device(next_set, begins_dev, ends_dev):
     (words, T) pair — one word-row gather + in-block lowest-set-bit per
     query, falling to T[b+1] when the rest of the block is empty)."""
     if isinstance(next_set, tuple):
+        from ..ops.rank import _bv_row
+
         words, T = next_set
         b = jax.lax.shift_right_logical(begins_dev, 7)
         o = begins_dev & jnp.int32(127)
-        row = words[b]  # (B, 4)
+        row = _bv_row(words, b)  # (B, 4)
         w4 = jnp.arange(4, dtype=jnp.int32)[None, :]
         start = jnp.clip(o[:, None] - w4 * 32, 0, 32)
         sh = jnp.minimum(start, 31).astype(jnp.uint32)

@@ -37,24 +37,26 @@ import jax as _jax
 
 @_jax.jit
 def bv_build(bits_u8) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Device 0/1 uint8 vector -> (words (nb, 4) uint32, counts (nb,) int32)
-    for ops.rank.bv_rank1 — the TPU-side rank structure over the document
-    array (the reference scans its vector<bool> DA sequentially,
-    ebwt2InDel.cpp:1431-1432). Jitted so the pack fuses into one pass —
-    the eager form materializes two 4n-byte temporaries (matters inside
-    the 1G memory envelope, docs/PERF.md)."""
+    """Device 0/1 uint8 vector -> (words (nb*4,) uint32 FLAT, counts (nb,)
+    int32) for ops.rank.bv_rank1 — the TPU-side rank structure over the
+    document array (the reference scans its vector<bool> DA sequentially,
+    ebwt2InDel.cpp:1431-1432).
+
+    Everything here is deliberately 1-D: a (nb, 4, 32) reshape tiles to
+    (4, 128) lanes on TPU — a 4x-padded 15.6 GB HLO temp at n=1G (the
+    driver-observed phase-4 OOM) — and even the (nb, 4) word array itself
+    would tile to 128 lanes (32x HBM). Flat u32 arrays tile densely;
+    word/block extraction uses strided slices, which XLA fuses."""
     n = bits_u8.shape[0]
     nb = -(-n // 128)
     pad = nb * 128 - n
     a = bits_u8.astype(jnp.uint8)
     if pad:
         a = jnp.concatenate([a, jnp.zeros(pad, jnp.uint8)])
-    w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    words = (a.reshape(nb, 4, 32).astype(jnp.uint32) * w).sum(
-        axis=-1, dtype=jnp.uint32
-    )
-    import jax
-
-    per_block = jax.lax.population_count(words).sum(axis=-1, dtype=jnp.int32)
+    words = jnp.zeros(nb * 4, jnp.uint32)
+    for j in range(32):
+        words = words + (a[j::32].astype(jnp.uint32) << jnp.uint32(j))
+    pc = _jax.lax.population_count(words).astype(jnp.int32)
+    per_block = pc[0::4] + pc[1::4] + pc[2::4] + pc[3::4]
     counts = jnp.cumsum(per_block) - per_block
     return words, counts

@@ -98,7 +98,8 @@ def pack_file(path: str, term: int = dna.DEFAULT_TERM):
 
 
 def pack_da_file(path: str, n: int):
-    """Returns (bits uint8 (n,), words (n_blocks,4) uint32, counts int32)."""
+    """Returns (bits uint8 (n,), words (n_blocks*4,) uint32 flat — the
+    ops.bits.bv_build layout — and counts int32 (n_blocks,))."""
     lib = _load()
     data = np.fromfile(path, dtype=np.uint8, count=n)
     n_blocks = n // 128 + 1
@@ -107,4 +108,4 @@ def pack_da_file(path: str, n: int):
     bits = np.zeros(n, dtype=np.uint8)
     lib.pack_da(data.ctypes.data, n, words.ctypes.data, counts.ctypes.data,
                 bits.ctypes.data)
-    return bits, words, counts
+    return bits, words.reshape(-1), counts

@@ -341,10 +341,12 @@ def term_positions(pb: PackedBwt) -> np.ndarray:
 
 
 def pack_bitvector(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Pack a 0/1 array into (n_blocks,4) uint32 words + (n_blocks,) int32
-    absolute cumulative popcounts — the rank-1 structure for the document array
-    (reference mode 3 stores DA as vector<bool>, ebwt2InDel.cpp:1495-1508; we
-    rank it with the same block machinery)."""
+    """Pack a 0/1 array into (n_blocks*4,) uint32 FLAT words + (n_blocks,)
+    int32 absolute cumulative popcounts — the rank-1 structure for the
+    document array (reference mode 3 stores DA as vector<bool>,
+    ebwt2InDel.cpp:1495-1508; we rank it with the same block machinery).
+    Flat layout (ops.bits.bv_build): a (nb, 4) u32 device array tiles to
+    128 lanes on TPU — 32x HBM at n=1G."""
     bits = np.ascontiguousarray(bits, dtype=np.uint8)
     n = int(bits.shape[0])
     n_blocks = n // BLOCK + 1
@@ -357,7 +359,7 @@ def pack_bitvector(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     per_block = padded.reshape(n_blocks, BLOCK).sum(axis=1, dtype=np.int64)
     cum = np.zeros(n_blocks, dtype=np.int64)
     np.cumsum(per_block[:-1], out=cum[1:])
-    return words, cum.astype(np.int32)
+    return words.reshape(-1), cum.astype(np.int32)
 
 
 def read_da_file(path: str, n: int) -> np.ndarray:

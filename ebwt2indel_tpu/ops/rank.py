@@ -381,16 +381,24 @@ def select(blocks, block_counts, r, c):
 # ---------------------------------------------------------------------------
 
 
+def _bv_row(words, b):
+    """(..., 4) word row of block b from the FLAT (nb*4,) word array
+    (ops.bits.bv_build layout — flat because a (nb, 4) u32 array tiles to
+    128 lanes on TPU, 32x HBM)."""
+    idx = 4 * b[..., None] + jnp.arange(4, dtype=b.dtype)
+    return words[idx]
+
+
 def bv_rank1(words, counts, i):
     """Number of 1-bits before position i.
 
-    words: uint32 (n_blocks, 4); counts: int32 (n_blocks,); i: int32 [...].
+    words: uint32 (nb*4,) flat; counts: int32 (n_blocks,); i: int32 [...].
     TPU-side rank over the document array (the reference keeps DA as
     vector<bool> and scans it sequentially, ebwt2InDel.cpp:1431-1432).
     """
     b = jax.lax.shift_right_logical(i, 7)
     o = i & jnp.int32(BLOCK - 1)
-    row = words[b]  # [..., 4]
+    row = _bv_row(words, b)  # [..., 4]
     masks = _prefix_masks(o)
     inblock = jax.lax.population_count(row & masks).sum(axis=-1, dtype=jnp.int32)
     return counts[b] + inblock
@@ -399,8 +407,8 @@ def bv_rank1(words, counts, i):
 def bv_select(words, counts, r):
     """Position of the (r+1)-th set bit of a packed bitvector, batched.
 
-    words: uint32 (nb, 4); counts: int32 (nb,) exclusive per-block prefix
-    counts (ops.bits.bv_build layout); r: int32 [...]. Assumes r < total
+    words: uint32 (nb*4,) flat; counts: int32 (nb,) exclusive per-block
+    prefix counts (ops.bits.bv_build layout); r: int32 [...]. Assumes r < total
     set bits; out-of-range r returns garbage (callers mask).
 
     The gather-only dual of the compaction scatter: extracting the
@@ -419,7 +427,7 @@ def bv_select(words, counts, r):
         gt = counts[mid] > r
         lo = jnp.where(use & ~gt, mid, lo)
         hi = jnp.where(use & gt, mid, hi)
-    row = words[lo]  # [..., 4]
+    row = _bv_row(words, lo)  # [..., 4]
     t = r - counts[lo]
     wc = jax.lax.population_count(row).astype(jnp.int32)
     cum = jnp.cumsum(wc, axis=-1)
@@ -433,11 +441,8 @@ def bv_select(words, counts, r):
 
 
 def bv_get(words, i):
-    """Bit at position i."""
-    b = jax.lax.shift_right_logical(i, 7)
+    """Bit at position i (flat (nb*4,) word array)."""
     o = i & jnp.int32(BLOCK - 1)
-    row = words[b]
-    widx = jax.lax.shift_right_logical(o, 5)
     bit = (o & 31).astype(jnp.uint32)
-    word = jnp.take_along_axis(row, widx[..., None], axis=-1)[..., 0]
+    word = words[jax.lax.shift_right_logical(i, 5)]
     return ((word >> bit) & _U1).astype(jnp.int32)

@@ -179,9 +179,10 @@ def test_bv_build_device_matches_host(rng):
     b = (rng.random(n) < 0.3).astype(np.uint8)
     words_h, counts_h = packing.pack_bitvector(b)
     words_d, counts_d = bits_ops.bv_build(jnp.asarray(b))
-    nb = min(len(words_h), len(words_d))  # host pads one extra block
-    np.testing.assert_array_equal(np.asarray(words_d)[:nb], words_h[:nb])
-    np.testing.assert_array_equal(np.asarray(counts_d)[:nb], counts_h[:nb])
+    nw = min(len(words_h), len(words_d))  # host pads one extra block
+    nc = min(len(counts_h), len(counts_d))
+    np.testing.assert_array_equal(np.asarray(words_d)[:nw], words_h[:nw])
+    np.testing.assert_array_equal(np.asarray(counts_d)[:nc], counts_h[:nc])
 
 
 @pytest.mark.parametrize("use_valid", [False, True])
