@@ -213,25 +213,30 @@ def _unpack_flags(nf, n: int):
 
 
 # positions above this can't ride the (pos << 4 | val) packed sort key;
-# module-level so tests can force the any-n iota path at small scale
+# module-level so tests can force the other paths at small scale
 _FLAG_PACK_LIMIT = (1 << 28) - 8
+_FLAG_PACK3_LIMIT = (1 << 29) - 8
 
 
-def _flag_scatter_compact(nf, borders, vals):
+def _flag_scatter_compact(nf, borders, vals, vals_bits: int = 4):
     """_flag_scatter fed by sort-compacted slices.
 
     Only ~4% of node-border slots carry a nonzero flag value at genome
     scale, while the scatter pays ~9 ns per SLOT whether or not it drops
-    the entry. One 1-operand uint32 sort over packed (position << 4 |
-    value) keys (real entries ascend, zero-value slots become 0xFFFFFFFF
-    and sink) costs ~1 ms/1M; budget-sized slices of the real prefix then
-    feed the scatter through a data-dependent inner loop — one iteration
-    for typical chunks. The packing needs position < 2^28; larger inputs
-    (up to the 2^31 single-run limit) sort keep-tagged iotas instead and
-    gather (position, value) at the kept prefix per slice — two extra
-    cheap 1-D gathers, any-n exact (the earlier direct-scatter fallback
-    paid ~9 ns per SLOT: +13 ms/chunk at n=350M, node phase 31.9 s vs
-    the expected ~18 s). Multi-operand payload sorts and a phase-long
+    the entry. One 1-operand uint32 sort over packed (position <<
+    vals_bits | value) keys (real entries ascend, zero-value slots become
+    0xFFFFFFFF and sink) costs ~1 ms/1M; budget-sized slices of the real
+    prefix then feed the scatter through a data-dependent inner loop —
+    one iteration for typical chunks. The packing needs position <
+    2^(32-vals_bits): mode 1's node values fit 3 bits (1|2|4 combos,
+    <= 7), carrying the zero-gather path to n < 2^29; the pair bodies add
+    the DA bit (8) and need 4. Larger inputs (up to the 2^31 single-run
+    limit) sort (iota << 4 | val) instead — iota fits easily (m <= 9
+    chunks) — so only the POSITION needs a per-slice gather at the kept
+    prefix; the value unpacks from the key (one gather instead of the
+    two-gather formulation: each budget-slice gather costs ~15 ns/row
+    whatever n_real is, and the two-gather path measured 113 ns/pos at
+    350M vs 50 at 116M). Multi-operand payload sorts and a phase-long
     entry log were both measured slower (~12 ns/element and a
     non-aliased while-carry copy, node phase 21 s — docs/PERF.md)."""
     m = borders.shape[0]
@@ -239,26 +244,31 @@ def _flag_scatter_compact(nf, borders, vals):
     dummy = jnp.int32(nf.shape[0] * 8)
     budget = max(256, m // 8)
     ar = jnp.arange(budget, dtype=jnp.int32)
-    packed = nf.shape[0] * 8 < _FLAG_PACK_LIMIT
+    n_cap = nf.shape[0] * 8
+    if vals_bits == 3 and n_cap < _FLAG_PACK3_LIMIT:
+        vb = 3
+    elif n_cap < _FLAG_PACK_LIMIT:
+        vb = 4
+    else:
+        vb = 0  # any-n path: (iota << 4 | val) key + per-slice pos gather
+    vmask = jnp.uint32((1 << vb) - 1 if vb else 15)
 
-    if packed:
+    if vb:
         key = jnp.where(
             vals > 0,
-            (borders.astype(jnp.uint32) << 4) | vals.astype(jnp.uint32),
+            (borders.astype(jnp.uint32) << vb) | vals.astype(jnp.uint32),
             jnp.uint32(0xFFFFFFFF),
         )
-        skey = jax.lax.sort(key)
-        pad = (-m) % budget
-        if pad:
-            skey = jnp.concatenate(
-                [skey, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]
-            )
     else:
-        iota = jnp.arange(m, dtype=jnp.int32)
-        sidx = jax.lax.sort(jnp.where(vals > 0, iota, m + iota))
-        pad = (-m) % budget
-        if pad:
-            sidx = jnp.concatenate([sidx, jnp.full(pad, m, jnp.int32)])
+        iota = jnp.arange(m, dtype=jnp.uint32)
+        key = jnp.where(
+            vals > 0, (iota << 4) | vals.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF),
+        )
+    skey = jax.lax.sort(key)
+    pad = (-m) % budget
+    if pad:
+        skey = jnp.concatenate([skey, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
 
     def wcond(state):
         return state[0] * budget < n_real
@@ -266,20 +276,14 @@ def _flag_scatter_compact(nf, borders, vals):
     def wstep(state):
         it, nf = state
         live = it * budget + ar < n_real
-        if packed:
-            sl = jax.lax.dynamic_slice(skey, (it * budget,), (budget,))
-            pos = jnp.where(
-                live,
-                jax.lax.shift_right_logical(
-                    sl, jnp.uint32(4)).astype(jnp.int32),
-                dummy,
-            )
-            val = (sl & jnp.uint32(15)).astype(jnp.int32)
+        sl = jax.lax.dynamic_slice(skey, (it * budget,), (budget,))
+        up = jax.lax.shift_right_logical(
+            sl, jnp.uint32(vb if vb else 4)).astype(jnp.int32)
+        if vb:
+            pos = jnp.where(live, up, dummy)
         else:
-            sel = jax.lax.dynamic_slice(sidx, (it * budget,), (budget,))
-            sel = jnp.minimum(sel, m - 1)
-            pos = jnp.where(live, borders[sel], dummy)
-            val = vals[sel]
+            pos = jnp.where(live, borders[jnp.minimum(up, m - 1)], dummy)
+        val = (sl & vmask).astype(jnp.int32)
         return it + 1, _flag_scatter(nf, pos, val)
 
     _, nf = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), nf))
@@ -455,8 +459,10 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
         vals.append(v)
+    # mode-1 node values are 1|2|4 combos (<= 7): the 3-bit packed key
+    # keeps the zero-gather compaction up to n < 2^29
     nf = _flag_scatter_compact(nf, jnp.concatenate(idxs),
-                               jnp.concatenate(vals))
+                               jnp.concatenate(vals), vals_bits=3)
 
     if _DEDUP_FRAC > 0:
         ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
@@ -957,6 +963,12 @@ def _run_phase(fms, init_np, flags_factory, body, n_hint, K, k_right):
             if ckpt_dir and _os.path.isfile(_ckpt_path(ckpt_dir, body)):
                 _os.remove(_ckpt_path(ckpt_dir, body))
             return flags, np.asarray(stats), int(maxp)
+        import sys as _sys
+
+        print(f"[ebwt2indel] queue overflow in {body.__name__} "
+              f"(pending > {queue_cap} rows after {int(stats[0])} items): "
+              f"doubling the queue and re-running the phase",
+              file=_sys.stderr)
         queue_cap *= 2
 
 

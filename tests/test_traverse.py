@@ -289,6 +289,19 @@ def test_flag_scatter_compact_big_n_path(rng, monkeypatch):
     np.testing.assert_array_equal(got_packed, want)
     np.testing.assert_array_equal(got_iota, want)
 
+    # 3-bit packed key (mode-1 node values <= 7) and its any-n fallback
+    vals3 = (vals & 7).astype(np.int32)
+    want3 = np.asarray(T._flag_scatter(
+        nf0, jnp.asarray(np.where(vals3 > 0, borders, -1)),
+        jnp.asarray(vals3)))
+    got_p3 = np.asarray(T._flag_scatter_compact(
+        nf0, jnp.asarray(borders), jnp.asarray(vals3), vals_bits=3))
+    monkeypatch.setattr(T, "_FLAG_PACK3_LIMIT", 1)
+    got_i3 = np.asarray(T._flag_scatter_compact(
+        nf0, jnp.asarray(borders), jnp.asarray(vals3), vals_bits=3))
+    np.testing.assert_array_equal(got_p3, want3)
+    np.testing.assert_array_equal(got_i3, want3)
+
 
 def test_bounded_dispatch_and_checkpoint_resume(tmp_path, rng, monkeypatch):
     """Multi-dispatch execution (tiny EBWT_DISPATCH_ITERS) must produce
