@@ -142,7 +142,7 @@ def _extract_runs(is_start, end_at, n_ends, *, cap, mcov_out):
     pos = jnp.arange(n, dtype=jnp.int32)
 
     def compact(m):
-        key = jax.lax.sort(jnp.where(m, pos, n + pos))
+        key = jax.lax.sort(jnp.where(m, pos, n + pos), is_stable=False)
         if cap <= n:
             return key[:cap]
         return jnp.concatenate(
@@ -209,8 +209,8 @@ def _extract_runs_sliced(is_start, end_at, n_ends, *, cap, mcov_out):
         cnt_s, cnt_e, sbuf, ebuf = carry
         m_s, m_e, base = xs
         pos = base + jnp.arange(L, dtype=jnp.int32)
-        key_s = jax.lax.sort(jnp.where(m_s != 0, pos, INF))
-        key_e = jax.lax.sort(jnp.where(m_e != 0, pos, INF))
+        key_s = jax.lax.sort(jnp.where(m_s != 0, pos, INF), is_stable=False)
+        key_e = jax.lax.sort(jnp.where(m_e != 0, pos, INF), is_stable=False)
         c_s = jnp.sum((m_s != 0).astype(jnp.int32))
         c_e = jnp.sum((m_e != 0).astype(jnp.int32))
         sbuf = write(sbuf, key_s, cnt_s, c_s)

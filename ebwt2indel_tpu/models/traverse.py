@@ -154,7 +154,7 @@ def _compact(flat, keep, budget: int | None = None):
     """
     m = flat.shape[0]
     iota = jnp.arange(m, dtype=jnp.int32)
-    perm = jax.lax.sort(jnp.where(keep, iota, m + iota))
+    perm = jax.lax.sort(jnp.where(keep, iota, m + iota), is_stable=False)
     n_keep = keep.sum(dtype=jnp.int32)
     if budget is None:
         return flat[jnp.minimum(perm, m - 1)], n_keep
@@ -176,7 +176,7 @@ def _compact_cm(flat_rm, keep_cm, budget: int | None = None):
     m = C * k
     slot = (jnp.arange(k, dtype=jnp.int32)[None, :] * C
             + jnp.arange(C, dtype=jnp.int32)[:, None])  # (C, k) char-major
-    perm = jax.lax.sort(jnp.where(keep_cm, slot, m + slot).reshape(m))
+    perm = jax.lax.sort(jnp.where(keep_cm, slot, m + slot).reshape(m), is_stable=False)
     cm = jnp.minimum(perm, m - 1)
     rm = (cm % C) * k + cm // C
     n_keep = keep_cm.sum(dtype=jnp.int32)
@@ -265,7 +265,7 @@ def _flag_scatter_compact(nf, borders, vals, vals_bits: int = 4):
             vals > 0, (iota << 4) | vals.astype(jnp.uint32),
             jnp.uint32(0xFFFFFFFF),
         )
-    skey = jax.lax.sort(key)
+    skey = jax.lax.sort(key, is_stable=False)
     pad = (-m) % budget
     if pad:
         skey = jnp.concatenate([skey, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
@@ -807,13 +807,13 @@ def _queue_phase_dispatch(fms, q, flags, head, tail, stats, maxp, *, body,
                     slot = (jnp.arange(k, dtype=jnp.int32)[None, :] * Cc
                             + jnp.arange(Cc, dtype=jnp.int32)[:, None])
                     perm = jax.lax.sort(
-                        jnp.where(keep, slot, m + slot).reshape(m))
+                        jnp.where(keep, slot, m + slot).reshape(m), is_stable=False)
                     cm = jnp.minimum(perm, m - 1)
                     idx = (cm % Cc) * k + cm // Cc
                 else:
                     iota = jnp.arange(m, dtype=jnp.int32)
                     perm = jax.lax.sort(
-                        jnp.where(keep.reshape(m), iota, m + iota))
+                        jnp.where(keep.reshape(m), iota, m + iota), is_stable=False)
                     idx = jnp.minimum(perm, m - 1)
                 n_keep = keep.sum(dtype=jnp.int32)
                 if not _SLICED:

@@ -97,7 +97,7 @@ def _routed_pair_rank(b_h, rows_b, coords, valid, *, n_dev, sid, qseg):
     flat = jnp.concatenate([coords, slot[:, None]], axis=1)  # (C, k+1)
 
     # dest-sorted buckets (cf. _route), fixed segment qseg per (src, dst)
-    sp = jax.lax.sort(jnp.where(narrow, dest * C + slot, n_dev * C + slot))
+    sp = jax.lax.sort(jnp.where(narrow, dest * C + slot, n_dev * C + slot), is_stable=False)
     rows_sorted = flat[jnp.minimum(sp % C, C - 1)]
     sdest = jnp.minimum(sp // C, n_dev - 1)
     n_q = jnp.sum(narrow.astype(jnp.int32))
@@ -148,7 +148,7 @@ def _route(flat, keep, dest, segN, *, n_dev, sid):
     m = flat.shape[0]
     iota = jnp.arange(m, dtype=jnp.int32)
     sp = jax.lax.sort(jnp.where(keep, dest * m + iota,
-                                n_dev * m + iota))
+                                n_dev * m + iota), is_stable=False)
     rows_sorted = flat[jnp.minimum(sp % m, m - 1)]
     sdest = jnp.minimum(sp // m, n_dev - 1)
     n_keep = jnp.sum(keep.astype(jnp.int32))
@@ -267,7 +267,7 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             n_wide = jnp.sum(wide.astype(jnp.int32))
             ovf = ovf + (n_wide > wbudget)
             iota_c = jnp.arange(chunk, dtype=jnp.int32)
-            wperm = jax.lax.sort(jnp.where(wide, iota_c, chunk + iota_c))
+            wperm = jax.lax.sort(jnp.where(wide, iota_c, chunk + iota_c), is_stable=False)
             wrows = block[jnp.minimum(wperm[:wbudget], chunk - 1)]
             wvalid_l = jnp.arange(wbudget, dtype=jnp.int32) < n_wide
             wrows = jnp.where(wvalid_l[:, None], wrows, 0)
@@ -295,7 +295,7 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             ovf = ovf + (n_sp > fbudget)
             m4 = nidx.shape[0]
             iota4 = jnp.arange(m4, dtype=jnp.int32)
-            sperm = jax.lax.sort(jnp.where(spill, iota4, m4 + iota4))
+            sperm = jax.lax.sort(jnp.where(spill, iota4, m4 + iota4), is_stable=False)
             sp_sel = jnp.minimum(sperm[:fbudget], m4 - 1)
             sp_ok = jnp.arange(fbudget, dtype=jnp.int32) < n_sp
             fwd = jnp.stack(
@@ -332,7 +332,7 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             )
             iota_m = jnp.arange(M, dtype=jnp.int32)
             sp = jax.lax.sort(jnp.where(keep_flat, dest * M + iota_m,
-                                        n_dev * M + iota_m))
+                                        n_dev * M + iota_m), is_stable=False)
             rows_sorted = flat_n[sp & jnp.int32(M - 1)]  # M power of two
             sdest = jnp.minimum(sp // M, n_dev - 1)
             n_keep = jnp.sum(keep_flat.astype(jnp.int32))
@@ -491,7 +491,7 @@ def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             n_wide = jnp.sum(wide.astype(jnp.int32))
             ovf = ovf + (n_wide > wbudget)
             iota_c = jnp.arange(chunk, dtype=jnp.int32)
-            wperm = jax.lax.sort(jnp.where(wide, iota_c, chunk + iota_c))
+            wperm = jax.lax.sort(jnp.where(wide, iota_c, chunk + iota_c), is_stable=False)
             wrows = block[jnp.minimum(wperm[:wbudget], chunk - 1)]
             wvalid_l = jnp.arange(wbudget, dtype=jnp.int32) < n_wide
             wrows = jnp.where(wvalid_l[:, None], wrows, 0)
@@ -518,7 +518,7 @@ def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             ovf = ovf + (n_sp > fbudget)
             m2 = nidx.shape[0]
             iota2 = jnp.arange(m2, dtype=jnp.int32)
-            sperm = jax.lax.sort(jnp.where(spill, iota2, m2 + iota2))
+            sperm = jax.lax.sort(jnp.where(spill, iota2, m2 + iota2), is_stable=False)
             sp_sel = jnp.minimum(sperm[:fbudget], m2 - 1)
             sp_ok = jnp.arange(fbudget, dtype=jnp.int32) < n_sp
             fwd = jnp.stack(
@@ -550,7 +550,7 @@ def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             )
             iota_m = jnp.arange(M, dtype=jnp.int32)
             sp = jax.lax.sort(jnp.where(keep_flat, dest * M + iota_m,
-                                        n_dev * M + iota_m))
+                                        n_dev * M + iota_m), is_stable=False)
             rows_sorted = flat_n[sp & jnp.int32(M - 1)]
             sdest = jnp.minimum(sp // M, n_dev - 1)
             n_keep = jnp.sum(keep_flat.astype(jnp.int32))
@@ -849,7 +849,7 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                 ovf = ovf + (n_wide > wbudget)
                 iota_c = jnp.arange(chunk, dtype=jnp.int32)
                 wperm = jax.lax.sort(
-                    jnp.where(wide, iota_c, chunk + iota_c))
+                    jnp.where(wide, iota_c, chunk + iota_c), is_stable=False)
                 wrows = block[jnp.minimum(wperm[:wbudget], chunk - 1)]
                 wvalid_l = jnp.arange(wbudget, dtype=jnp.int32) < n_wide
                 wrows = jnp.where(wvalid_l[:, None], wrows, 0)
@@ -1219,7 +1219,7 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                 ovf = ovf + (n_wide > wbudget)
                 iota_c = jnp.arange(chunk, dtype=jnp.int32)
                 wperm = jax.lax.sort(
-                    jnp.where(wide, iota_c, chunk + iota_c))
+                    jnp.where(wide, iota_c, chunk + iota_c), is_stable=False)
                 wrows = block[jnp.minimum(wperm[:wbudget], chunk - 1)]
                 wvalid_l = jnp.arange(wbudget, dtype=jnp.int32) < n_wide
                 wrows = jnp.where(wvalid_l[:, None], wrows, 0)

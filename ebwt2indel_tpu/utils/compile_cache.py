@@ -33,6 +33,13 @@ def enable() -> None:
     val = os.environ.get("EBWT_COMPILE_CACHE")
     if "EBWT_COMPILE_CACHE" in os.environ and val in ("", "0"):
         return
+    if val is None and os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # default-on only for the remote TPU backend, where a compile
+        # costs minutes. CPU compiles are fast, and serializing certain
+        # CPU executables for the cache write segfaults the process
+        # (observed in jax's put_executable_and_time during the test
+        # suite). Set EBWT_COMPILE_CACHE explicitly to force it on CPU.
+        return
     cache_dir = val or os.path.join(
         os.path.expanduser("~"), ".cache", "ebwt2indel_tpu", "xla"
     )

@@ -27,6 +27,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules: this image's XLA
+    CPU compiler segfaults after enough distinct programs accumulate in
+    one process (observed in backend_compile_and_load at ~the 450th
+    compile of a combined test_parity+test_parallel run; each file
+    passes in isolation). Clearing per module keeps a full-suite
+    single-process run viable."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xEB37)
