@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.coords import ult
 from . import fm_index as fm_ops
 from .fm_index import FMIndex
 
@@ -188,6 +189,8 @@ def _anchor_from_words(words, *, n: int):
     >= 128*b (n if none), T has nb+1 entries (T[nb] = n). words is the
     FLAT (nb*4,) layout of ops.bits.bv_build; all intermediates stay 1-D
     (a (nb, 4) u32 array tiles to 128 lanes on TPU — 32x HBM at n=1G)."""
+    from ..ops.coords import pat32, ucummin_rev, umin
+
     nb = words.shape[0] // 4
     low = words & (~words + jnp.uint32(1))  # lowest set bit per word
     bitidx = jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
@@ -197,12 +200,15 @@ def _anchor_from_words(words, *, n: int):
         jnp.minimum(fiw[0::4], fiw[1::4] + 32),
         jnp.minimum(fiw[2::4] + 64, fiw[3::4] + 96),
     )  # (nb,) 0..127 or >= 2^30
+    # positions are unsigned bit patterns: the no-set sentinel is the
+    # pattern of n (> every real position) and the scans are unsigned
+    n_pat = jnp.int32(pat32(n))
     blk_first = jnp.where(
         first < (1 << 30),
-        jnp.arange(nb, dtype=jnp.int32) * 128 + first, jnp.int32(n),
+        jnp.arange(nb, dtype=jnp.int32) * 128 + first, n_pat,
     )
-    T = jnp.minimum(jax.lax.cummin(blk_first, reverse=True), jnp.int32(n))
-    return words, jnp.concatenate([T, jnp.full(1, n, jnp.int32)])
+    T = umin(ucummin_rev(blk_first), n_pat)
+    return words, jnp.concatenate([T, jnp.full(1, pat32(n), jnp.int32)])
 
 
 def first_thr_position_device(next_set, begins_dev, ends_dev):
@@ -230,10 +236,10 @@ def first_thr_position_device(next_set, begins_dev, ends_dev):
         fiw = jnp.where(m != 0, bitidx + w4 * 32, jnp.int32(1) << 30)
         off = jnp.min(fiw, axis=1)
         pos = jnp.where(off < (1 << 30), b * 128 + off, T[b + 1])
-        found = pos < ends_dev
+        found = ult(pos, ends_dev)  # unsigned: positions past 2^31
         return jnp.where(found, pos, 0), found
     pos = next_set[begins_dev]
-    found = pos < ends_dev
+    found = ult(pos, ends_dev)
     return jnp.where(found, pos, 0), found
 
 

@@ -181,13 +181,14 @@ def _extract_runs_sliced(is_start, end_at, n_ends, *, cap, mcov_out):
     garbage-pad contract: each slice writes ceil(count/B)*B entries at
     the running offset, later slices overwrite the pad, and entries past
     the total count are masked downstream (closed = k < n_ends)."""
+    from ..ops.coords import pat32
     from .traverse import _LEAN_SLICE
 
     n = is_start.shape[0]
     L = _LEAN_SLICE
     S = -(-n // L)
     B = L // 16
-    INF = jnp.int32(n)
+    INF = jnp.int32(pat32(n))
     ms = jnp.zeros(S * L, jnp.uint8).at[:n].set(is_start.astype(jnp.uint8))
     me = jnp.zeros(S * L, jnp.uint8).at[:n].set(end_at.astype(jnp.uint8))
     sbuf = jnp.zeros(cap + L, jnp.int32)
@@ -209,8 +210,15 @@ def _extract_runs_sliced(is_start, end_at, n_ends, *, cap, mcov_out):
         cnt_s, cnt_e, sbuf, ebuf = carry
         m_s, m_e, base = xs
         pos = base + jnp.arange(L, dtype=jnp.int32)
-        key_s = jax.lax.sort(jnp.where(m_s != 0, pos, INF), is_stable=False)
-        key_e = jax.lax.sort(jnp.where(m_e != 0, pos, INF), is_stable=False)
+        # positions are unsigned bit patterns (ops.coords): sort the
+        # uint32 view so slices past 2^31 keep position order and the
+        # INF sentinel (pattern of n) sinks after every real position
+        def upsort(m, p):
+            key = jnp.where(m != 0, p, INF).astype(jnp.uint32)
+            return jax.lax.sort(key, is_stable=False).astype(jnp.int32)
+
+        key_s = upsort(m_s, pos)
+        key_e = upsort(m_e, pos)
         c_s = jnp.sum((m_s != 0).astype(jnp.int32))
         c_e = jnp.sum((m_e != 0).astype(jnp.int32))
         sbuf = write(sbuf, key_s, cnt_s, c_s)
@@ -251,7 +259,8 @@ def find_clusters_device(thr_K_dev, minima_dev, mcov_out: int) -> Clusters:
         begins=a_begins[:n_analyzed_i],
         ends=a_ends[:n_analyzed_i],
         n_clusters=n_analyzed_i,
-        clust_size_sum=int(size_sum),
+        # the device sum wraps mod 2^32; the true value is < n < 2^32
+        clust_size_sum=int(np.uint32(np.int64(int(size_sum)) & 0xFFFFFFFF)),
         n_closed=n_ends_i,
         hist=np.asarray(hist),
     )

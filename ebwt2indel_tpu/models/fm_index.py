@@ -100,15 +100,18 @@ class FMIndex:
 
     # host-side constants -------------------------------------------------
     def root(self) -> np.ndarray:
-        """Root suffix-tree node (dna_bwt.hpp:296-308)."""
-        F = np.asarray(self.F)
-        return np.array([0, F[0], F[1], F[2], F[3], self.n, 0], dtype=np.int32)
+        """Root suffix-tree node (dna_bwt.hpp:296-308). Coordinates are
+        unsigned int32 bit patterns (ops.coords) so n past 2^31 encodes."""
+        F = np.asarray(self.F, dtype=np.int64)
+        return (np.array([0, F[0], F[1], F[2], F[3], self.n, 0],
+                         dtype=np.int64).astype(np.uint32).view(np.int32))
 
     def first_leaf(self) -> np.ndarray:
         """Leaf of the empty string: range of all terminator-first suffixes
         (dna_bwt.hpp:313-317)."""
-        F = np.asarray(self.F)
-        return np.array([0, F[0], 0], dtype=np.int32)
+        F = np.asarray(self.F, dtype=np.int64)
+        return (np.array([0, F[0], 0], dtype=np.int64)
+                .astype(np.uint32).view(np.int32))
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -166,8 +169,12 @@ def access(fm: FMIndex, i):
 
 def f_char(fm: FMIndex, i):
     """Character code of the F column at position i (dna_bwt.hpp:100-110):
-    TERM(4) below F_A, else A..T by boundary comparison."""
-    r = jnp.searchsorted(fm.F, i, side="right").astype(jnp.int32)
+    TERM(4) below F_A, else A..T by boundary comparison. F and i are
+    unsigned bit patterns; with only 4 boundaries the searchsorted is a
+    broadcast unsigned compare + sum."""
+    Fu = fm.F.astype(jnp.uint32)
+    iu = i.astype(jnp.uint32)
+    r = jnp.sum((Fu <= iu[..., None]).astype(jnp.int32), axis=-1)
     return jnp.where(r == 0, jnp.int32(4), r - 1)
 
 
@@ -281,8 +288,9 @@ def lf_range_dedup(fm: FMIndex, first, second, budget: int):
 
 
 def node_num_children(nodes):
-    """Number of non-empty children of each node (include.hpp:760-768)."""
-    c = nodes[..., :6]
+    """Number of non-empty children of each node (include.hpp:760-768).
+    Boundary comparison is unsigned (positions are uint32 bit patterns)."""
+    c = nodes[..., :6].astype(jnp.uint32)
     return jnp.sum((c[..., 1:] > c[..., :-1]).astype(jnp.int32), axis=-1)
 
 
@@ -304,11 +312,13 @@ def find(fm: FMIndex, pattern: str) -> tuple[int, int]:
     find() is likewise unused by the main tool)."""
     from ..utils import dna
 
+    from ..ops.coords import pat32, unpat
+
     codes = dna.str_to_codes(pattern, fm.term)
     first = jnp.asarray([0], dtype=jnp.int32)
-    second = jnp.asarray([fm.n], dtype=jnp.int32)
+    second = jnp.asarray([pat32(fm.n)], dtype=jnp.int32)
     for c in codes[::-1]:
         first, second = lf_range_char(
             fm, first, second, jnp.asarray([int(c)], dtype=jnp.int32)
         )
-    return int(first[0]), int(second[0])
+    return unpat(first[0]), unpat(second[0])

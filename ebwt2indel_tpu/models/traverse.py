@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.coords import pat32, ugt, ult, unpat
 from . import fm_index as fm_ops
 from .fm_index import FMIndex
 
@@ -94,6 +95,35 @@ def _narrow_budget(chunk_rows: int) -> int:
     # traversal levels take few slices, small enough that the per-slice
     # select+rank is cheap next to the 2-anchor main pass
     return max(512, chunk_rows // 64)
+
+
+# ---------------------------------------------------------------------------
+# boundary-delta vector addressing: 1-D below 2^31 entries, 2-D above
+# (s32 scatter indices cannot address arrays past 2^31 elements — negative
+# patterns drop; a (rows, _LEAN_SLICE) layout keeps both index components
+# in s32 range for any n < 2^32. Positions are unsigned bit patterns,
+# ops/coords.py.)
+# ---------------------------------------------------------------------------
+
+_LEAN_LOG = 24  # log2(_LEAN_SLICE)
+
+
+def _dif_size(dif) -> int:
+    return int(np.prod(dif.shape))
+
+
+def _dif_dummy(dif):
+    """An index pattern guaranteed out-of-bounds (dropped) for this dif."""
+    return jnp.int32(pat32(_dif_size(dif)))
+
+
+def _dif_scatter(dif, idx, val):
+    """Scatter-add boundary deltas at position patterns ``idx``."""
+    if dif.ndim == 1:
+        return dif.at[idx].add(val, mode="drop")
+    hi = jax.lax.shift_right_logical(idx, _LEAN_LOG)
+    lo = idx & jnp.int32(_LEAN_SLICE - 1)
+    return dif.at[hi, lo].add(val, mode="drop")
 
 
 @dataclasses.dataclass
@@ -241,7 +271,7 @@ def _flag_scatter_compact(nf, borders, vals, vals_bits: int = 4):
     non-aliased while-carry copy, node phase 21 s — docs/PERF.md)."""
     m = borders.shape[0]
     n_real = jnp.sum((vals > 0).astype(jnp.int32))
-    dummy = jnp.int32(nf.shape[0] * 8)
+    dummy = jnp.int32(pat32(nf.shape[0] * 8))
     budget = max(256, m // 8)
     ar = jnp.arange(budget, dtype=jnp.int32)
     n_cap = nf.shape[0] * 8
@@ -332,10 +362,11 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
     case and only compiles then.
     """
     (dif,) = flags  # (n+1,) int32 dual-lane: low 16 K-diff, high 16 R-diff
+    # (2-D (rows, _LEAN_SLICE) above 2^31 entries — see _dif_scatter)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     first, second, depth = chunk[:, 0], chunk[:, 1], chunk[:, 2]
-    dummy = jnp.int32(dif.shape[0])
+    dummy = _dif_dummy(dif)
 
     condK = valid & (depth >= K)
     condR = valid & (depth >= k_right)
@@ -345,7 +376,7 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
         jnp.where(v > 0, second, dummy),
     ])
     val = jnp.concatenate([v, -v])
-    dif = dif.at[idx].add(val, mode="drop")
+    dif = _dif_scatter(dif, idx, val)
 
     out, n_out = _leaf_children(fm, first, second, depth, valid, append)
     stats = (
@@ -436,25 +467,26 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
     valid = jnp.arange(C, dtype=jnp.int32) < count
     depth = chunk[:, 6]
     last = chunk[:, 5]
-    dummy = jnp.int32(nf.shape[0] * 8)
+    dummy = jnp.int32(pat32(nf.shape[0] * 8))
     lcp_values = jnp.int32(0)
     n_min = jnp.int32(0)
 
     # one nibble-packed add-scatter for all border writes: every flagged
     # position is written by exactly one (node, border) across the whole
     # traversal (the border's LCP value is that unique node's depth), so
-    # add never collides on a bit
+    # add never collides on a bit. Border comparisons are unsigned
+    # (positions are uint32 bit patterns, ops/coords.py).
     idxs = []
     vals = []
     for j in range(1, 5):
         border = chunk[:, j]
-        has_prev = border > chunk[:, j - 1]
+        has_prev = ugt(border, chunk[:, j - 1])
         cond = valid & has_prev & (border != last)
         lcp_values = lcp_values + jnp.sum(cond.astype(jnp.int32))
         v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
         if j >= 2:
             prev_size = border - chunk[:, j - 1]
-            cond_m = valid & (prev_size >= 2) & (border < last - 1)
+            cond_m = valid & (prev_size >= 2) & ult(border, last - 1)
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
@@ -559,14 +591,14 @@ def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append
     counts stay under 2^9 (_LANE3_SAFE_DEPTH, verified from the max-depth
     stat after the phase; navigate_two_bwts reruns with _leaf_pair_body /
     _leaf_pair_body_wide in the pathological case). chunk: (C,5)."""
-    (dif,) = flags  # (n+1,) int32 tri-lane
+    (dif,) = flags  # (n+1,) int32 tri-lane (2-D above 2^31 — _dif_scatter)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
     start1 = f1 + f2
     start2 = f2 + s1
     end = s1 + s2
-    dummy = jnp.int32(dif.shape[0])
+    dummy = _dif_dummy(dif)
 
     condK = valid & (depth >= K)
     condR = valid & (depth >= k_right)
@@ -578,7 +610,7 @@ def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append
         jnp.where(valid, end, dummy),
     ])
     val = jnp.concatenate([v, d, -(v + d)])
-    dif = dif.at[idx].add(val, mode="drop")
+    dif = _dif_scatter(dif, idx, val)
 
     out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
                                      valid, append)
@@ -644,7 +676,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append)
     depth = chunk[:, 12]
     merged = c1 + c2
     last = merged[:, 5]
-    dummy = jnp.int32(nf.shape[0] * 8)
+    dummy = jnp.int32(pat32(nf.shape[0] * 8))
 
     idxs = []
     vals = []
@@ -666,13 +698,13 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append)
     n_min = jnp.int32(0)
     for j in range(1, 5):
         border = merged[:, j]
-        has_prev = border > merged[:, j - 1]
+        has_prev = ugt(border, merged[:, j - 1])  # unsigned: patterns
         cond = valid & has_prev & (border != last)
         lcp_values = lcp_values + jnp.sum(cond.astype(jnp.int32))
         v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
         if j >= 2:
             prev_size = border - merged[:, j - 1]
-            cond_m = valid & (prev_size >= 2) & (border < last - 1)
+            cond_m = valid & (prev_size >= 2) & ult(border, last - 1)
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
@@ -697,8 +729,8 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append)
     else:
         ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
         ext2 = fm_ops.extend_node(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]])
-    u1 = ext1[..., 1:6] > ext1[..., 0:5]
-    u2 = ext2[..., 1:6] > ext2[..., 0:5]
+    u1 = ugt(ext1[..., 1:6], ext1[..., 0:5])
+    u2 = ugt(ext2[..., 1:6], ext2[..., 0:5])
     n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
     children = jnp.concatenate(
         [ext1[..., :6], ext2[..., :6], ext1[..., 6:7]], axis=-1
@@ -992,8 +1024,9 @@ def _fills_from_dif(dif, *, n: int):
     ``_split_lanes(jnp.cumsum(dif[:n]))``: the running packed sum rides a
     scalar carry across 16M-element slices, so peak memory is the input
     (donated) plus the two uint8 outputs instead of four n-word
-    temporaries (docs/PERF.md memory envelope)."""
-    S = dif.shape[0] // _LEAN_SLICE
+    temporaries (docs/PERF.md memory envelope). Accepts the 1-D or the
+    2-D (rows, _LEAN_SLICE) dif layout (the latter above 2^31 entries)."""
+    S = _dif_size(dif) // _LEAN_SLICE
 
     def step(carry, sl):
         cs = jnp.cumsum(sl) + carry
@@ -1009,7 +1042,7 @@ def _fills_from_dif(dif, *, n: int):
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
 def _fills_from_dif3(dif, *, n: int):
     """Tri-lane variant of _fills_from_dif (pair modes): K/R/DA fills."""
-    S = dif.shape[0] // _LEAN_SLICE
+    S = _dif_size(dif) // _LEAN_SLICE
 
     def step(carry, sl):
         cs = jnp.cumsum(sl) + carry
@@ -1093,12 +1126,28 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     lean = n >= _LEAN_N
     t0 = _time.perf_counter()
     dif_n = _lean_pad(n + 1) if lean else n + 1
+    # above 2^31 entries the delta vector must be 2-D: s32 scatter indices
+    # cannot address a longer axis (ops/coords.py; reference coordinates
+    # are uint64 end-to-end, include.hpp:25)
+    huge = dif_n >= 2**31 or (
+        lean and os.environ.get("EBWT_FORCE_HUGE_DIF") == "1")
+    if huge:
+        dif_factory = lambda: (jnp.zeros(  # noqa: E731
+            (dif_n // _LEAN_SLICE, _LEAN_SLICE), dtype=jnp.int32),)
+    else:
+        dif_factory = lambda: (jnp.zeros(dif_n, dtype=jnp.int32),)  # noqa: E731
     (dif,), st_l, maxp_l = _run_phase(
-        (fm,), fm.first_leaf()[None, :],
-        lambda: (jnp.zeros(dif_n, dtype=jnp.int32),), _leaf_body, n, K,
+        (fm,), fm.first_leaf()[None, :], dif_factory, _leaf_body, n, K,
         k_right,
     )
     if int(st_l[2]) >= _LANE_SAFE_DEPTH:
+        if n >= 2**30 - 8:
+            raise RuntimeError(
+                "input has suffix-tree leaves deeper than "
+                f"{_LANE_SAFE_DEPTH} at n >= 2^30: the int32-per-field "
+                "delta layout cannot address 2*(n+1) entries; split the "
+                "input (tools.pebwt2indel)"
+            )
         # per-position net counts may exceed the 16-bit lane: rerun with
         # the int32-per-field program (first compile happens only here)
         (dif,), st_l, maxp_l = _run_phase(
@@ -1134,9 +1183,10 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
               flush=True)
 
     stats = {
-        "leaves": int(st_l[0]), "nodes": int(st_n[0]),
-        "lcp_values": 1 + int(st_l[1]) + int(st_n[1]),
-        "n_min": int(st_n[2]),
+        # device counters wrap mod 2^32; every true count is <= n < 2^32
+        "leaves": unpat(st_l[0]), "nodes": unpat(st_n[0]),
+        "lcp_values": 1 + unpat(st_l[1]) + unpat(st_n[1]),
+        "n_min": unpat(st_n[2]),
         "max_pending": max(maxp_l, maxp_n),
     }
     if lean and int(st_l[2]) < _LANE_SAFE_DEPTH:
@@ -1170,11 +1220,23 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     lean = n >= _LEAN_N
     start = np.array([[l1[0], l1[1], l2[0], l2[1], 0]], dtype=np.int32)
     dif_n = _lean_pad(n + 1) if lean else n + 1
+    huge = dif_n >= 2**31 or (  # see navigate_one_bwt / _dif_scatter
+        lean and os.environ.get("EBWT_FORCE_HUGE_DIF") == "1")
+    if huge:
+        dif_factory = lambda: (jnp.zeros(  # noqa: E731
+            (dif_n // _LEAN_SLICE, _LEAN_SLICE), dtype=jnp.int32),)
+    else:
+        dif_factory = lambda: (jnp.zeros(dif_n, dtype=jnp.int32),)  # noqa: E731
     (dif,), st_l, maxp_l = _run_phase(
-        (fm1, fm2), start,
-        lambda: (jnp.zeros(dif_n, dtype=jnp.int32),), _leaf_pair_body3, n,
-        K, k_right,
+        (fm1, fm2), start, dif_factory, _leaf_pair_body3, n, K, k_right,
     )
+    if huge and int(st_l[2]) >= _LANE3_SAFE_DEPTH:
+        raise RuntimeError(
+            "input has suffix-tree leaves deeper than "
+            f"{_LANE3_SAFE_DEPTH} at n >= 2^31: the multi-area delta "
+            "layouts cannot address k*(n+1) entries; split the input "
+            "(tools.pebwt2indel)"
+        )
     # one packed cumsum then a carry-aware lane split: exact while the
     # RUNNING per-position net counts respect the lane bounds — the same
     # max-depth bound that guards the scatter packing itself
@@ -1224,10 +1286,11 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
               flush=True)
 
     stats = {
-        "leaves": int(st_l[0]), "nodes": int(st_n[0]),
-        "lcp_values": 1 + int(st_l[1]) + int(st_n[1]),
-        "n_min": int(st_n[2]),
-        "da_values": int(st_l[3]) + int(st_n[3]),
+        # device counters wrap mod 2^32; every true count is <= n < 2^32
+        "leaves": unpat(st_l[0]), "nodes": unpat(st_n[0]),
+        "lcp_values": 1 + unpat(st_l[1]) + unpat(st_n[1]),
+        "n_min": unpat(st_n[2]),
+        "da_values": unpat(st_l[3]) + unpat(st_n[3]),
         "max_pending": max(maxp_l, maxp_n),
     }
     if lean and int(st_l[2]) < _LANE3_SAFE_DEPTH:

@@ -1,0 +1,80 @@
+"""Unsigned-coordinate helpers: positions/counts as uint32 bit patterns.
+
+Device coordinate space is 32-bit. Arrays keep their int32 dtype (TPU's
+native integer word; sub-word scatters and mixed-dtype queues would cost
+more), but absolute positions and absolute character counts are
+interpreted as *unsigned* bit patterns, which carries one run to
+n < 2^32 - 2^26 (the reference is uint64 end-to-end, include.hpp:25; a
+~3 GB BWT — BASELINE config 5 — needs n ~ 3e9 > 2^31, the old cap).
+
+Why bit patterns work (verified on the TPU backend):
+* additions/subtractions/multiplications wrap mod 2^32 — two's complement
+  patterns match unsigned arithmetic exactly;
+* block/word/bit derivations use ``lax.shift_right_logical`` and masks,
+  which act on the pattern;
+* XLA converts between s32/u32 by reinterpretation (modular), so
+  ``astype(jnp.uint32)`` is a free bitcast;
+* scatters with mode="drop" drop negative (= would-be huge unsigned)
+  indices, so arrays larger than 2^31 elements must be addressed as 2-D
+  (row, offset) pairs — see traverse._dif_scatter.
+
+What does NOT work on raw patterns — and what these helpers are for:
+ordered comparisons, sorts, min/max scans. Compare/sort/scan the uint32
+view instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pat32(x: int) -> int:
+    """Python int -> the int32 two's-complement pattern of x mod 2^32
+    (jnp.int32(pat32(n)) never overflows; the device sees the unsigned
+    value n)."""
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def unpat(x) -> int:
+    """Host int32/int scalar -> the unsigned Python int it encodes."""
+    return int(np.uint64(np.int64(int(x)) & np.int64(0xFFFFFFFF)))
+
+
+def asu32(x):
+    """Reinterpret an int32 array as uint32 (free on TPU: modular convert)."""
+    return x.astype(jnp.uint32)
+
+
+def ult(a, b):
+    """Unsigned a < b on int32 bit patterns."""
+    return asu32(a) < asu32(b)
+
+
+def ule(a, b):
+    return asu32(a) <= asu32(b)
+
+
+def ugt(a, b):
+    return asu32(a) > asu32(b)
+
+
+def uge(a, b):
+    return asu32(a) >= asu32(b)
+
+
+def umin(a, b):
+    """Unsigned elementwise min on int32 patterns, returned as int32."""
+    return jnp.minimum(asu32(a), asu32(b)).astype(jnp.int32)
+
+
+def ucummin_rev(x):
+    """Unsigned reverse cumulative min on int32 patterns (int32 out)."""
+    return jax.lax.cummin(asu32(x), reverse=True).astype(jnp.int32)
+
+
+def usort(x):
+    """Unsigned ascending sort of int32 patterns (int32 out)."""
+    return jax.lax.sort(asu32(x), is_stable=False).astype(jnp.int32)

@@ -57,7 +57,7 @@ def pack_bytes(data: np.ndarray, term: int = dna.DEFAULT_TERM,
     if data.dtype != np.uint8 or not data.flags.c_contiguous:
         data = np.ascontiguousarray(data, dtype=np.uint8)
     n = int(data.shape[0])
-    if check_cap and n >= 2**31:
+    if check_cap and n >= packing.CAP:
         raise ValueError(packing.CAP_MESSAGE)
     n_blocks = n // 128 + 1
     blocks = np.zeros((n_blocks, 16), dtype=np.uint32)

@@ -16,9 +16,11 @@ Differences from the reference layout (intentional, TPU-first):
 * bit order within a block is LSB-first per 32-bit word (VPU lanes are 32-bit),
   not MSB-first per 128-bit plane (reference: dna_string.hpp:125-127);
 * block counters are absolute 32-bit counts, so there is no superblock level.
-  A single shard is therefore limited to 2^31-1 characters; larger inputs are
-  position-sharded across devices/hosts (see parallel/), which is also how the
-  reference's own pipeline scales (reference: pebwt2InDel.sh:49-83).
+  Positions and counts are *unsigned* 32-bit bit patterns on device
+  (ops/coords.py), so a single run carries to ~2^32 characters (CAP below —
+  covers BASELINE config 5's ~3 GB BWT); larger inputs are position-sharded
+  across devices/hosts (see parallel/), which is also how the reference's
+  own pipeline scales (reference: pebwt2InDel.sh:49-83).
 
 Space: 64 B / 128 chars = 4 bits/char, matching the reference
 (dna_string.hpp:21), plus a separate (n_blocks,4) copy of the counters used for
@@ -51,11 +53,16 @@ class PackedBwt:
     term: int = dna.DEFAULT_TERM
 
 
+# one run's coordinate space is 32-bit unsigned (positions and counts are
+# uint32 bit patterns on device, ops/coords.py); the margin keeps the
+# padded delta vector (traverse._lean_pad) addressable as (rows, 2^24)
+CAP = 2**32 - 2**25
+
 CAP_MESSAGE = (
-    "input exceeds 2^31-1 characters — the int32 device coordinate space "
-    "of one run; process the input as independent context-sorted pieces "
-    "(ebwt2indel_tpu.tools.pebwt2indel, the reference's own scaling story, "
-    "pebwt2InDel.sh:49-83)"
+    f"input exceeds {CAP} characters — the uint32 device coordinate "
+    "space of one run; process the input as independent context-sorted "
+    "pieces (ebwt2indel_tpu.tools.pebwt2indel, the reference's own "
+    "scaling story, pebwt2InDel.sh:49-83)"
 )
 
 
@@ -64,7 +71,7 @@ def pack_codes(codes: np.ndarray, term: int = dna.DEFAULT_TERM,
     """Pack an array of 3-bit codes (A=0..T=3, TERM=4) into block rows."""
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = int(codes.shape[0])
-    if check_cap and n >= 2**31:
+    if check_cap and n >= CAP:
         raise ValueError(CAP_MESSAGE)
     # one extra block guarantees rank(n) addresses a valid row, mirroring the
     # reference's (n+1)-based block count (dna_string.hpp:61-62)

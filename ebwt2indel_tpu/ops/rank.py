@@ -330,17 +330,22 @@ def _select_in_word(word, t):
 
 def select_block(block_counts, r, c):
     """Phase A of select: the block containing the (r+1)-th occurrence of
-    char c — binary search over the absolute per-block counters."""
+    char c — binary search over the absolute per-block counters.
+
+    Counters and ranks are unsigned bit patterns (ops.coords): the
+    comparison is done on the uint32 view so inputs past 2^31 order
+    correctly."""
     nb = block_counts.shape[0]
     lo = jnp.zeros(r.shape, dtype=jnp.int32)
     hi = jnp.full(r.shape, nb, dtype=jnp.int32)  # exclusive
+    ru = r.astype(jnp.uint32)
     # invariant: counts[lo] <= r < counts[hi] (counts[nb] == total > r)
     steps = max(1, (nb - 1).bit_length())
     for _ in range(steps):
         mid = (lo + hi) >> 1
         use = mid > lo
         cm = jnp.take_along_axis(block_counts[mid], c[..., None], axis=-1)[..., 0]
-        gt = cm > r
+        gt = cm.astype(jnp.uint32) > ru
         lo = jnp.where(use & ~gt, mid, lo)
         hi = jnp.where(use & gt, mid, hi)
     return lo
@@ -420,11 +425,12 @@ def bv_select(words, counts, r):
     nb = counts.shape[0]
     lo = jnp.zeros(r.shape, dtype=jnp.int32)
     hi = jnp.full(r.shape, nb, dtype=jnp.int32)
+    ru = r.astype(jnp.uint32)  # counts/ranks are unsigned bit patterns
     steps = max(1, (nb - 1).bit_length())
     for _ in range(steps):
         mid = (lo + hi) >> 1
         use = mid > lo
-        gt = counts[mid] > r
+        gt = counts[mid].astype(jnp.uint32) > ru
         lo = jnp.where(use & ~gt, mid, lo)
         hi = jnp.where(use & gt, mid, hi)
     row = _bv_row(words, lo)  # [..., 4]

@@ -35,22 +35,32 @@ def _native_sais():
     lib.sais_int32.restype = ctypes.c_int64
     lib.sais_int32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_int64, ctypes.c_int64]
+    lib.sais_int64.restype = ctypes.c_int64
+    lib.sais_int64.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_int64, ctypes.c_int64]
     return lib
 
 
 def suffix_array_sentinel(codes: np.ndarray) -> np.ndarray:
     """Suffix array of an int sequence whose last element is the unique
     smallest (0). Uses the native linear-time SA-IS (native/saca.cpp) when
-    available, falling back to numpy prefix doubling."""
+    available — the int64-index variant past 2^31 positions (BASELINE
+    config 5 scale) — falling back to numpy prefix doubling."""
     codes = np.ascontiguousarray(codes, dtype=np.int32)
     n = len(codes)
     try:
         lib = _native_sais()
-        sa = np.empty(n, dtype=np.int32)
         K = int(codes.max()) + 1
-        rc = lib.sais_int32(codes.ctypes.data, sa.ctypes.data, n, K)
-        if rc == 0:
-            return sa.astype(np.int64)
+        if n >= 2**31:
+            sa = np.empty(n, dtype=np.int64)
+            rc = lib.sais_int64(codes.ctypes.data, sa.ctypes.data, n, K)
+            if rc == 0:
+                return sa
+        else:
+            sa = np.empty(n, dtype=np.int32)
+            rc = lib.sais_int32(codes.ctypes.data, sa.ctypes.data, n, K)
+            if rc == 0:
+                return sa.astype(np.int64)
     except Exception:
         pass
     return suffix_array(codes.astype(np.int64))

@@ -16,8 +16,11 @@ namespace {
 
 using i64 = int64_t;
 
-template <typename TT>
-void sais_core(const TT* T, int32_t* SA, i64 n, i64 K) {
+// SI = suffix-array index type: int32_t below 2^31 positions, int64_t
+// above (BASELINE config 5 scale inputs; the reduced recursion always
+// has n_lms <= n/2 < 2^31 for any n < 2^32, so it re-enters at int32).
+template <typename TT, typename SI>
+void sais_core(const TT* T, SI* SA, i64 n, i64 K) {
   if (n == 1) {
     SA[0] = 0;
     return;
@@ -51,36 +54,37 @@ void sais_core(const TT* T, int32_t* SA, i64 n, i64 K) {
     bucket_starts();
     for (i64 i = 0; i < n; ++i) {
       i64 j = SA[i];
-      if (j > 0 && !t[j - 1]) SA[B[T[j - 1]]++] = (int32_t)(j - 1);
+      if (j > 0 && !t[j - 1]) SA[B[T[j - 1]]++] = (SI)(j - 1);
     }
     // S-type pass, right to left
     bucket_ends();
     for (i64 i = n - 1; i >= 0; --i) {
       i64 j = SA[i];
-      if (j > 0 && t[j - 1]) SA[--B[T[j - 1]]] = (int32_t)(j - 1);
+      if (j > 0 && t[j - 1]) SA[--B[T[j - 1]]] = (SI)(j - 1);
     }
   };
 
   // step 1: place LMS suffixes at bucket ends (arbitrary order), induce
-  std::memset(SA, -1, n * sizeof(int32_t));
+  std::memset(SA, -1, n * sizeof(SI));
   bucket_ends();
   for (i64 i = n - 1; i >= 1; --i)
-    if (is_lms(i)) SA[--B[T[i]]] = (int32_t)i;
+    if (is_lms(i)) SA[--B[T[i]]] = (SI)i;
   induce();
 
   // step 2: collect sorted LMS substrings, name them
-  std::vector<int32_t> lms_sorted;
-  lms_sorted.reserve(n / 2 + 1);
+  std::vector<SI> lms_sorted;
+  lms_sorted.reserve(n / 3 + 1);
   for (i64 i = 0; i < n; ++i)
-    if (SA[i] >= 0 && is_lms(SA[i])) lms_sorted.push_back(SA[i]);
+    if (SA[i] >= 0 && is_lms(SA[i])) lms_sorted.push_back((SI)SA[i]);
   i64 n_lms = (i64)lms_sorted.size();
 
   // map position -> LMS index (by position order)
-  std::vector<int32_t> lms_pos;
+  std::vector<SI> lms_pos;
   lms_pos.reserve(n_lms);
   for (i64 i = 1; i < n; ++i)
-    if (is_lms(i)) lms_pos.push_back((int32_t)i);
+    if (is_lms(i)) lms_pos.push_back((SI)i);
 
+  // LMS names fit int32 for any n < 2^32 (names <= n_lms <= n/2)
   std::vector<int32_t> name_of(n, -1);
   i64 names = 0;
   i64 prev = -1;
@@ -111,23 +115,26 @@ void sais_core(const TT* T, int32_t* SA, i64 n, i64 K) {
     prev = cur;
   }
 
-  std::vector<int32_t> lms_order(n_lms);  // sorted order of LMS suffixes
+  std::vector<SI> lms_order(n_lms);  // sorted order of LMS suffixes
   if (names < n_lms) {
-    // recurse on the reduced string (names in position order)
+    // recurse on the reduced string (names in position order); n_lms <=
+    // n/2 < 2^31 whenever n < 2^32, so the recursion runs at int32
+    { std::vector<SI>().swap(lms_sorted); }  // big input: free before recursing
     std::vector<int32_t> T1(n_lms), SA1(n_lms);
     for (i64 k = 0; k < n_lms; ++k) T1[k] = name_of[lms_pos[k]];
-    sais_core<int32_t>(T1.data(), SA1.data(), n_lms, names);
+    { std::vector<int32_t>().swap(name_of); }
+    sais_core<int32_t, int32_t>(T1.data(), SA1.data(), n_lms, names);
     for (i64 k = 0; k < n_lms; ++k) lms_order[k] = lms_pos[SA1[k]];
   } else {
     for (i64 k = 0; k < n_lms; ++k) lms_order[k] = lms_sorted[k];
   }
 
   // step 3: final induce from the fully sorted LMS order
-  std::memset(SA, -1, n * sizeof(int32_t));
+  std::memset(SA, -1, n * sizeof(SI));
   bucket_ends();
   for (i64 k = n_lms - 1; k >= 0; --k) {
     i64 j = lms_order[k];
-    SA[--B[T[j]]] = (int32_t)j;
+    SA[--B[T[j]]] = (SI)j;
   }
   induce();
 }
@@ -138,8 +145,15 @@ extern "C" {
 
 // T values in [0,K), T[n-1]==0 unique sentinel; fills SA. Returns 0.
 int64_t sais_int32(const int32_t* T, int32_t* SA, int64_t n, int64_t K) {
+  if (n <= 0 || n > INT32_MAX) return -1;
+  sais_core<int32_t, int32_t>(T, SA, n, K);
+  return 0;
+}
+
+// 64-bit-index variant for inputs past 2^31 positions (SA is int64).
+int64_t sais_int64(const int32_t* T, int64_t* SA, int64_t n, int64_t K) {
   if (n <= 0) return -1;
-  sais_core<int32_t>(T, SA, n, K);
+  sais_core<int32_t, int64_t>(T, SA, n, K);
   return 0;
 }
 

@@ -1,0 +1,180 @@
+"""Unit tests for the unsigned 32-bit coordinate machinery (ops/coords.py).
+
+Positions and counts past 2^31 live in int32 arrays as uint32 bit
+patterns (the reference is uint64 end-to-end, include.hpp:25; one run
+must carry to BASELINE config 5's ~3 GB BWT). These tests pin the
+helpers against numpy uint32 oracles and exercise the 2-D delta-vector
+scatter layout used above 2^31 entries.
+"""
+
+import numpy as np
+import jax  # noqa: F401
+import jax.numpy as jnp
+import pytest
+
+from ebwt2indel_tpu.ops import coords
+
+
+RNG = np.random.default_rng(7)
+
+
+def _patterns(k=257):
+    """int32 patterns spanning the full uint32 range incl. boundaries."""
+    u = np.concatenate([
+        RNG.integers(0, 2**32, size=k, dtype=np.uint64).astype(np.uint32),
+        np.array([0, 1, 2**31 - 1, 2**31, 2**31 + 1, 2**32 - 2, 2**32 - 1],
+                 dtype=np.uint32),
+    ])
+    return u.view(np.int32)
+
+
+def test_pat32_unpat_roundtrip():
+    for v in (0, 1, 2**31 - 1, 2**31, 2**31 + 7, 2**32 - 1, 3_000_000_000):
+        p = coords.pat32(v)
+        assert -(2**31) <= p < 2**31
+        assert np.int32(p) == np.uint32(v).view(np.int32)
+        assert coords.unpat(np.int32(p)) == v % 2**32
+
+
+def test_unsigned_compares_match_numpy():
+    a = _patterns()
+    b = _patterns()[::-1].copy()
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    au, bu = a.view(np.uint32), b.view(np.uint32)
+    np.testing.assert_array_equal(np.asarray(coords.ult(aj, bj)), au < bu)
+    np.testing.assert_array_equal(np.asarray(coords.ule(aj, bj)), au <= bu)
+    np.testing.assert_array_equal(np.asarray(coords.ugt(aj, bj)), au > bu)
+    np.testing.assert_array_equal(np.asarray(coords.uge(aj, bj)), au >= bu)
+    np.testing.assert_array_equal(
+        np.asarray(coords.umin(aj, bj)).view(np.uint32), np.minimum(au, bu))
+
+
+def test_unsigned_cummin_and_sort_match_numpy():
+    a = _patterns()
+    aj = jnp.asarray(a)
+    au = a.view(np.uint32)
+    want = np.minimum.accumulate(au[::-1])[::-1]
+    np.testing.assert_array_equal(
+        np.asarray(coords.ucummin_rev(aj)).view(np.uint32), want)
+    np.testing.assert_array_equal(
+        np.asarray(coords.usort(aj)).view(np.uint32), np.sort(au))
+
+
+def test_arithmetic_wraps_like_unsigned():
+    # the core assumption: +/- on int32 patterns == uint32 modular math
+    a = _patterns()
+    b = _patterns()[::-1].copy()
+    s = np.asarray(jnp.asarray(a) + jnp.asarray(b)).view(np.uint32)
+    np.testing.assert_array_equal(s, a.view(np.uint32) + b.view(np.uint32))
+    d = np.asarray(jnp.asarray(a) - jnp.asarray(b)).view(np.uint32)
+    np.testing.assert_array_equal(s - d, 2 * b.view(np.uint32))
+
+
+def test_f_char_unsigned_boundaries():
+    """f_char's boundary compare must order F values past 2^31."""
+    from ebwt2indel_tpu.models import fm_index as fm_ops
+
+    class FakeFM:
+        F = jnp.asarray(np.array(
+            [10, 2**31 - 5, 2**31 + 100, 3_000_000_000],
+            dtype=np.uint64).astype(np.uint32).view(np.int32))
+
+    queries = np.array([0, 9, 10, 2**31 - 6, 2**31 - 5, 2**31 + 99,
+                        2**31 + 100, 2_999_999_999, 3_000_000_000,
+                        2**32 - 1], dtype=np.uint64)
+    got = np.asarray(fm_ops.f_char(FakeFM(),
+                                   jnp.asarray(queries.astype(np.uint32)
+                                               .view(np.int32))))
+    bounds = np.array([10, 2**31 - 5, 2**31 + 100, 3_000_000_000],
+                      dtype=np.uint64)
+    want = np.searchsorted(bounds, queries, side="right").astype(np.int32)
+    want = np.where(want == 0, 4, want - 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_select_block_unsigned_counters():
+    """select_block orders per-block counters as unsigned past 2^31."""
+    from ebwt2indel_tpu.ops import rank
+
+    # synthetic absolute counters for one char crossing 2^31
+    counts_u = np.array([0, 100, 2**31 - 1, 2**31 + 50, 3_000_000_000,
+                         2**32 - 10], dtype=np.uint64)
+    bc = np.zeros((len(counts_u), 4), dtype=np.uint32)
+    bc[:, 2] = counts_u.astype(np.uint32)
+    block_counts = jnp.asarray(bc.view(np.int32))
+    # r-th occurrence (0-based) -> containing block b satisfies
+    # counts[b] <= r < counts[b+1]
+    r_u = np.array([0, 99, 100, 2**31 - 2, 2**31 - 1, 2**31 + 49,
+                    2**31 + 50, 2_999_999_999, 3_000_000_000], np.uint64)
+    want = np.searchsorted(counts_u, r_u, side="right") - 1
+    got = np.asarray(rank.select_block(
+        block_counts,
+        jnp.asarray(r_u.astype(np.uint32).view(np.int32)),
+        jnp.full(len(r_u), 2, jnp.int32)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dif_scatter_2d_layout_matches_1d():
+    """_dif_scatter's (rows, 2^24) layout == the flat scatter, and the
+    dummy pattern is dropped in both."""
+    from ebwt2indel_tpu.models import traverse
+
+    L = traverse._LEAN_SLICE
+    size = 2 * L
+    idx_u = np.array([0, 1, L - 1, L, L + 7, size - 1, size,  # last = dummy
+                      coords.unpat(np.int32(coords.pat32(size)))],
+                     dtype=np.uint64)
+    idx = jnp.asarray(idx_u.astype(np.uint32).view(np.int32))
+    val = jnp.asarray(np.arange(1, len(idx_u) + 1, dtype=np.int32))
+
+    flat = np.zeros(size, np.int64)
+    for i, v in zip(idx_u, np.asarray(val)):
+        if i < size:
+            flat[i] += v
+
+    d1 = traverse._dif_scatter(jnp.zeros(size, jnp.int32), idx, val)
+    np.testing.assert_array_equal(np.asarray(d1), flat.astype(np.int32))
+    d2 = traverse._dif_scatter(jnp.zeros((2, L), jnp.int32), idx, val)
+    np.testing.assert_array_equal(np.asarray(d2).ravel(),
+                                  flat.astype(np.int32))
+    assert traverse._dif_size(d2) == size
+    assert int(traverse._dif_dummy(d2)) == coords.pat32(size)
+
+
+@pytest.mark.parametrize("body", ["single", "pair"])
+def test_traversal_parity_1d_vs_2d_dif(body, tmp_path, monkeypatch):
+    """Forcing the huge (2-D dif + lean) layout on a small input must
+    reproduce the default result bit-for-bit: same traversal, different
+    delta addressing (the layout used for real above 2^31 entries)."""
+    from ebwt2indel_tpu.models import traverse
+    from ebwt2indel_tpu.models.fm_index import FMIndex
+    from ebwt2indel_tpu.tools import ebwt as ebwt_tool
+
+    reads = ["ACGTACGGTTACA", "ACGTACCGTTACA", "TTACGGAACCGTA",
+             "GGACGTACGGTTA", "CATTACGGAACCG"]
+    e1 = ebwt_tool.ebwt_of_reads(reads)
+    e2 = ebwt_tool.ebwt_of_reads([r[::-1] for r in reads])
+    p1, p2 = tmp_path / "a.ebwt", tmp_path / "b.ebwt"
+    p1.write_text(e1)
+    p2.write_text(e2)
+    fm1 = FMIndex.from_file(str(p1))
+    fm2 = FMIndex.from_file(str(p2))
+
+    if body == "single":
+        run = lambda: traverse.navigate_one_bwt(fm1, 2, 3)  # noqa: E731
+    else:
+        run = lambda: traverse.navigate_two_bwts(  # noqa: E731
+            fm1, fm2, 2, 3)
+
+    base = run()
+    monkeypatch.setenv("EBWT_FORCE_HUGE_DIF", "1")
+    monkeypatch.setattr(traverse, "_LEAN_N", 0)
+    alt = run()
+
+    for attr in ("thr_K", "thr_R", "minima", "da"):
+        b, a = getattr(base, attr), getattr(alt, attr)
+        if b is None:
+            assert a is None
+            continue
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
+                                      err_msg=attr)
