@@ -171,26 +171,41 @@ def _extract_runs_select(is_start, end_at, n_ends, *, cap, mcov_out):
     return runs_to_clusters(starts, ends, n_ends, cap=cap, mcov_out=mcov_out)
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cap", "mcov_out"))
-def _extract_runs_sliced(is_start, end_at, n_ends, *, cap, mcov_out):
-    """Memory-lean _extract_runs: per-slice sorts + budget writes into the
-    cap buffers at running offsets, inside one lax.scan. The full-array
-    formulation sorts two (n,) int32 vectors — ~8.4 GB of sort workspace
-    each at n=1G, past the HBM envelope next to the flag vectors; here
-    peak extra memory is O(slice + cap). Writes use the queue-append
-    garbage-pad contract: each slice writes ceil(count/B)*B entries at
-    the running offset, later slices overwrite the pad, and entries past
-    the total count are masked downstream (closed = k < n_ends)."""
+@partial(jax.jit, donate_argnums=(0, 1))
+def _run_marks_lean(thr_K_dev, minima_dev):
+    """Memory-lean _run_marks: one (n,) uint8 cluster mask plus the
+    start/end counts — no is_start/end_at vectors (2 x n bool extra next
+    to the flag vectors breaches HBM at n ~ 2.6G; the marks are
+    recomputed slice-wise inside _extract_runs_masked). Inputs donated:
+    thr_K/minima have no consumer after cluster detection."""
+    mask = ((thr_K_dev != 0) & (minima_dev == 0)).astype(jnp.uint8)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.uint8), mask[:-1]])
+    n_starts = jnp.sum((mask & (1 - prev)).astype(jnp.int32))
+    # a run reaching n-1 never closes (reference scan quirk,
+    # ebwt2InDel.cpp:1609-1655): count ends over i <= n-2 only
+    n_ends = jnp.sum((mask[:-1] & (1 - mask[1:])).astype(jnp.int32))
+    return mask, n_starts, n_ends
+
+
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("cap", "mcov_out", "n"))
+def _extract_runs_masked(mask, n_ends, *, cap, mcov_out, n):
+    """Run extraction straight from the cluster mask: per-slice start/end
+    marks are derived with a one-bit carry (prev slice's last mask bit),
+    then sort-compacted into the cap buffers at running offsets — the
+    only O(n) allocation is the padded mask copy (donated input freed).
+    Emitted values: starts = first run position, ends = one past the
+    last (the begin/end+1 convention of runs_to_clusters)."""
     from ..ops.coords import pat32
     from .traverse import _LEAN_SLICE
 
-    n = is_start.shape[0]
     L = _LEAN_SLICE
     S = -(-n // L)
     B = L // 16
-    INF = jnp.int32(pat32(n))
-    ms = jnp.zeros(S * L, jnp.uint8).at[:n].set(is_start.astype(jnp.uint8))
-    me = jnp.zeros(S * L, jnp.uint8).at[:n].set(end_at.astype(jnp.uint8))
+    # every real mark value is <= n-1; S*L >= n sorts after all of them
+    INF = jnp.int32(pat32(S * L))
+    n_pat = jnp.int32(pat32(n))
+    mp = jnp.zeros(S * L, jnp.uint8).at[:n].set(mask)
     sbuf = jnp.zeros(cap + L, jnp.int32)
     ebuf = jnp.zeros(cap + L, jnp.int32)
 
@@ -206,31 +221,36 @@ def _extract_runs_sliced(is_start, end_at, n_ends, *, cap, mcov_out):
 
         return jax.lax.while_loop(wcond, wstep, (jnp.int32(0), buf))[1]
 
-    def step(carry, xs):
-        cnt_s, cnt_e, sbuf, ebuf = carry
-        m_s, m_e, base = xs
-        pos = base + jnp.arange(L, dtype=jnp.int32)
+    def upsort(m, p):
         # positions are unsigned bit patterns (ops.coords): sort the
         # uint32 view so slices past 2^31 keep position order and the
-        # INF sentinel (pattern of n) sinks after every real position
-        def upsort(m, p):
-            key = jnp.where(m != 0, p, INF).astype(jnp.uint32)
-            return jax.lax.sort(key, is_stable=False).astype(jnp.int32)
+        # INF sentinel (> every real position) sinks last
+        key = jnp.where(m, p, INF).astype(jnp.uint32)
+        return jax.lax.sort(key, is_stable=False).astype(jnp.int32)
 
+    def step(carry, xs):
+        prev_bit, cnt_s, cnt_e, sbuf, ebuf = carry
+        m, base = xs
+        pos = base + jnp.arange(L, dtype=jnp.int32)
+        prev = jnp.concatenate([prev_bit[None], m[:-1]])
+        m_s = (m != 0) & (prev == 0)
+        # an end mark at position p means the run's last position is
+        # p-1; p == n is the run reaching n-1, which never closes
+        m_e = (m == 0) & (prev != 0) & (pos != n_pat)
         key_s = upsort(m_s, pos)
         key_e = upsort(m_e, pos)
-        c_s = jnp.sum((m_s != 0).astype(jnp.int32))
-        c_e = jnp.sum((m_e != 0).astype(jnp.int32))
+        c_s = jnp.sum(m_s.astype(jnp.int32))
+        c_e = jnp.sum(m_e.astype(jnp.int32))
         sbuf = write(sbuf, key_s, cnt_s, c_s)
         ebuf = write(ebuf, key_e, cnt_e, c_e)
-        return (cnt_s + c_s, cnt_e + c_e, sbuf, ebuf), 0
+        return (m[-1], cnt_s + c_s, cnt_e + c_e, sbuf, ebuf), 0
 
-    (n_s, _, sbuf, ebuf), _ = jax.lax.scan(
-        step, (jnp.int32(0), jnp.int32(0), sbuf, ebuf),
-        (ms.reshape(S, L), me.reshape(S, L),
-         jnp.arange(S, dtype=jnp.int32) * L),
+    (_, n_s, _, sbuf, ebuf), _ = jax.lax.scan(
+        step,
+        (jnp.uint8(0), jnp.int32(0), jnp.int32(0), sbuf, ebuf),
+        (mp.reshape(S, L), jnp.arange(S, dtype=jnp.int32) * L),
     )
-    return runs_to_clusters(sbuf[:cap], ebuf[:cap] + 1, n_ends, cap=cap,
+    return runs_to_clusters(sbuf[:cap], ebuf[:cap], n_ends, cap=cap,
                             mcov_out=mcov_out)
 
 
@@ -240,15 +260,34 @@ def find_clusters_device(thr_K_dev, minima_dev, mcov_out: int) -> Clusters:
     downloaded."""
     import os
 
+    from ..ops.coords import unpat
     from .traverse import _LEAN_N
 
+    n = thr_K_dev.shape[0]
+    if n >= _LEAN_N and os.environ.get("EBWT_CLUSTER_EXTRACT") != "select":
+        # memory-lean route: one mask vector + slice-wise marks with a
+        # carry bit; thr_K/minima are donated (no consumer afterwards)
+        mask, n_starts, n_ends = _run_marks_lean(thr_K_dev, minima_dev)
+        n_ends_i = unpat(n_ends)
+        cap = _cap(max(unpat(n_starts), 1))
+        a_begins, a_ends, n_analyzed, hist, size_sum = _extract_runs_masked(
+            mask, n_ends, cap=cap, mcov_out=mcov_out, n=n
+        )
+        n_analyzed_i = int(n_analyzed)
+        return Clusters(
+            begins=a_begins[:n_analyzed_i],
+            ends=a_ends[:n_analyzed_i],
+            n_clusters=n_analyzed_i,
+            # the device sum wraps mod 2^32; the true value is < n < 2^32
+            clust_size_sum=unpat(size_sum),
+            n_closed=n_ends_i,
+            hist=np.asarray(hist),
+        )
     is_start, end_at, n_starts, n_ends = _run_marks(thr_K_dev, minima_dev)
     n_ends_i = int(n_ends)
     cap = _cap(max(int(n_starts), 1))
     if os.environ.get("EBWT_CLUSTER_EXTRACT") == "select":
         extract = _extract_runs_select
-    elif thr_K_dev.shape[0] >= _LEAN_N:
-        extract = _extract_runs_sliced
     else:
         extract = _extract_runs
     a_begins, a_ends, n_analyzed, hist, size_sum = extract(

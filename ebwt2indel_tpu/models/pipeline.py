@@ -130,7 +130,9 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     # no O(n) flag transfer at all in mode 1
     tmark0 = _timing_marker()
     next_thr = call.right_anchor_table(res.thr_R)
+    res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
+    res.thr_K = res.minima = None  # donated into cluster detection
     t4 = time.perf_counter()
     tmark0("cluster detect (device)")
     log(f"[timing] cluster detect (device) {t4 - t2:.2f}s")
@@ -256,10 +258,13 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     log(f"Output events will be stored in {cfg.output}")
 
     next_thr = call.right_anchor_table(res.thr_R)
+    res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
+    res.thr_K = res.minima = None  # donated into cluster detection
     # DA stays on device as a rank-ready packed bitvector — no O(n) host
     # transfer (the reference scans its vector<bool> DA, cpp:1431-1432)
     da_bv = bits.bv_build(res.da)
+    res.da = None
 
     stats = _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da_bv, cfg)
     stats.update(st)
@@ -441,7 +446,9 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     tmark_idx2("DA-side index (overlapped with navigation) wait")
 
     next_thr = call.right_anchor_table(res.thr_R)
+    res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
     cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
+    res.thr_K = res.minima = None  # donated into cluster detection
 
     stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da_bv, cfg)
     stats.update(st)

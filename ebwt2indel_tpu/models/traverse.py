@@ -1017,97 +1017,127 @@ def _lean_pad(n_items: int) -> int:
     return -(-n_items // _LEAN_SLICE) * _LEAN_SLICE
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
-def _fills_from_dif(dif, *, n: int):
-    """(fill_K, fill_R) uint8 from the dual-lane boundary-delta vector —
-    the scan-chunked, donating equivalent of
+def _pack_bits_u32(bits_u8):
+    """(L,) 0/1 uint8 -> (L//32,) uint32 little-endian words (flat bit p =
+    word p>>5, bit p&31); strided 1-D adds — a (L//32, 32) reshape would
+    tile to 128 lanes on TPU (see ops.bits.bv_build)."""
+    w = bits_u8[0::32].astype(jnp.uint32)
+    for j in range(1, 32):
+        w = w + (bits_u8[j::32].astype(jnp.uint32) << jnp.uint32(j))
+    return w
+
+
+def _unpack_bits_u32(words, L: int):
+    """Inverse of _pack_bits_u32: (L//32,) uint32 -> (L,) uint8."""
+    rep = jnp.repeat(words, 32)
+    sh = jnp.tile(jnp.arange(32, dtype=jnp.uint32), L // 32)
+    return (jax.lax.shift_right_logical(rep, sh) & jnp.uint32(1)).astype(
+        jnp.uint8)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _fills_from_dif(dif):
+    """Bit-packed (fill_K, fill_R) uint32 words from the dual-lane
+    boundary-delta vector — the scan-chunked, donating equivalent of
     ``_split_lanes(jnp.cumsum(dif[:n]))``: the running packed sum rides a
-    scalar carry across 16M-element slices, so peak memory is the input
-    (donated) plus the two uint8 outputs instead of four n-word
-    temporaries (docs/PERF.md memory envelope). Accepts the 1-D or the
-    2-D (rows, _LEAN_SLICE) dif layout (the latter above 2^31 entries)."""
+    scalar carry across 16M-element slices, and the fills come out as
+    n/32 uint32 words per lane, so peak memory is the input (donated)
+    plus n/4 bytes — at n = 2.6G the uint8 form alone (2 x 2.6 GB) next
+    to the 10.5 GB dif breached the 16 GB HBM envelope. Accepts the 1-D
+    or the 2-D (rows, _LEAN_SLICE) dif layout (the latter above 2^31
+    entries). Pad bits (>= n) are 0: every boundary pair's running net
+    returns to 0 at its end position <= n."""
     S = _dif_size(dif) // _LEAN_SLICE
 
     def step(carry, sl):
         cs = jnp.cumsum(sl) + carry
         netK, netR = _split_lanes(cs)
-        return cs[-1], ((netK > 0).astype(jnp.uint8),
-                        (netR > 0).astype(jnp.uint8))
+        return cs[-1], (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
+                        _pack_bits_u32((netR > 0).astype(jnp.uint8)))
 
     _, (fK, fR) = jax.lax.scan(step, jnp.int32(0),
                                dif.reshape(S, _LEAN_SLICE))
-    return fK.reshape(-1)[:n], fR.reshape(-1)[:n]
+    return fK.reshape(-1), fR.reshape(-1)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
-def _fills_from_dif3(dif, *, n: int):
+@partial(jax.jit, donate_argnums=(0,))
+def _fills_from_dif3(dif):
     """Tri-lane variant of _fills_from_dif (pair modes): K/R/DA fills."""
     S = _dif_size(dif) // _LEAN_SLICE
 
     def step(carry, sl):
         cs = jnp.cumsum(sl) + carry
         netK, netR, netD = _split_lanes3(cs)
-        return cs[-1], ((netK > 0).astype(jnp.uint8),
-                        (netR > 0).astype(jnp.uint8),
-                        (netD > 0).astype(jnp.uint8))
+        return cs[-1], (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
+                        _pack_bits_u32((netR > 0).astype(jnp.uint8)),
+                        _pack_bits_u32((netD > 0).astype(jnp.uint8)))
 
     _, (fK, fR, fD) = jax.lax.scan(step, jnp.int32(0),
                                    dif.reshape(S, _LEAN_SLICE))
-    return (fK.reshape(-1)[:n], fR.reshape(-1)[:n], fD.reshape(-1)[:n])
+    return fK.reshape(-1), fR.reshape(-1), fD.reshape(-1)
+
+
+def _fill_rows(fw, S: int):
+    """Trim a packed fill vector to S slice-rows of Lp//32 words (the
+    fills cover _lean_pad(n+1) bits, one slice more than _lean_pad(n)
+    exactly when n is a slice multiple; bits >= n are 0 either way)."""
+    W = S * (_LEAN_SLICE // 32)
+    return (fw[:W] if fw.shape[0] != W else fw).reshape(
+        S, _LEAN_SLICE // 32)
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n",))
-def _combine_flags_lean(nf, fill_K, fill_R, *, n: int):
-    """thr_K/thr_R/minima uint8 from packed nibble words + leaf fills,
-    scan-chunked and donating (the eager unpack materializes an (n,)
-    int32 — 4 GB at n=1G — before the ors)."""
+def _combine_flags_lean(nf, fKw, fRw, *, n: int):
+    """thr_K/thr_R/minima uint8 from packed nibble words + bit-packed
+    leaf fills (_fills_from_dif), scan-chunked and donating (the eager
+    unpack materializes an (n,) int32 — 4 GB at n=1G — before the ors)."""
     Lp = _LEAN_SLICE
     S = _lean_pad(n) // Lp
     words = jnp.zeros(S * Lp // 8, jnp.int32).at[: nf.shape[0]].set(nf)
-    fK = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_K)
-    fR = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_R)
     sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
 
     def step(_, xs):
         w, fk, fr = xs
         pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
-        thr_K = (((pf & 1) != 0) | (fk != 0)).astype(jnp.uint8)
-        thr_R = (((pf & 2) != 0) | (fr != 0)).astype(jnp.uint8)
+        thr_K = (((pf & 1) != 0) | (_unpack_bits_u32(fk, Lp) != 0)).astype(
+            jnp.uint8)
+        thr_R = (((pf & 2) != 0) | (_unpack_bits_u32(fr, Lp) != 0)).astype(
+            jnp.uint8)
         minima = ((pf & 4) != 0).astype(jnp.uint8)
         return 0, (thr_K, thr_R, minima)
 
     _, (tK, tR, mi) = jax.lax.scan(
         step, 0,
-        (words.reshape(S, Lp // 8), fK.reshape(S, Lp), fR.reshape(S, Lp)),
+        (words.reshape(S, Lp // 8), _fill_rows(fKw, S), _fill_rows(fRw, S)),
     )
     return tK.reshape(-1)[:n], tR.reshape(-1)[:n], mi.reshape(-1)[:n]
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("n",))
-def _combine_flags_da_lean(nf, fill_K, fill_R, fill_D, *, n: int):
+def _combine_flags_da_lean(nf, fKw, fRw, fDw, *, n: int):
     """Pair-mode variant of _combine_flags_lean: adds the DA lane."""
     Lp = _LEAN_SLICE
     S = _lean_pad(n) // Lp
     words = jnp.zeros(S * Lp // 8, jnp.int32).at[: nf.shape[0]].set(nf)
-    fK = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_K)
-    fR = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_R)
-    fD = jnp.zeros(S * Lp, jnp.uint8).at[:n].set(fill_D)
     sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
 
     def step(_, xs):
         w, fk, fr, fd = xs
         pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
         return 0, (
-            (((pf & 1) != 0) | (fk != 0)).astype(jnp.uint8),
-            (((pf & 2) != 0) | (fr != 0)).astype(jnp.uint8),
+            (((pf & 1) != 0) | (_unpack_bits_u32(fk, Lp) != 0)).astype(
+                jnp.uint8),
+            (((pf & 2) != 0) | (_unpack_bits_u32(fr, Lp) != 0)).astype(
+                jnp.uint8),
             ((pf & 4) != 0).astype(jnp.uint8),
-            (((pf & 8) != 0) | (fd != 0)).astype(jnp.uint8),
+            (((pf & 8) != 0) | (_unpack_bits_u32(fd, Lp) != 0)).astype(
+                jnp.uint8),
         )
 
     _, (tK, tR, mi, da) = jax.lax.scan(
         step, 0,
-        (words.reshape(S, Lp // 8), fK.reshape(S, Lp), fR.reshape(S, Lp),
-         fD.reshape(S, Lp)),
+        (words.reshape(S, Lp // 8), _fill_rows(fKw, S), _fill_rows(fRw, S),
+         _fill_rows(fDw, S)),
     )
     return (tK.reshape(-1)[:n], tR.reshape(-1)[:n], mi.reshape(-1)[:n],
             da.reshape(-1)[:n])
@@ -1158,9 +1188,10 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
         fill_K = jnp.cumsum(dif[:n]) > 0
         fill_R = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
     elif lean:
-        # scan-chunked, dif-donating fills: at n = 1G the eager form
-        # peaks ~16 GB (dif + cumsum + both lanes), past the HBM envelope
-        fill_K, fill_R = _fills_from_dif(dif, n=n)
+        # scan-chunked, dif-donating, bit-packed fills: at n = 1G the
+        # eager form peaks ~16 GB (dif + cumsum + both lanes), past the
+        # HBM envelope; uint8 fills next to the dif breach it at n ~ 2.6G
+        fill_K, fill_R = _fills_from_dif(dif)
         del dif
     else:
         # one packed cumsum then the carry-aware lane split (exact under
@@ -1190,9 +1221,7 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
         "max_pending": max(maxp_l, maxp_n),
     }
     if lean and int(st_l[2]) < _LANE_SAFE_DEPTH:
-        thr_K, thr_R, minima = _combine_flags_lean(
-            nf, fill_K.astype(jnp.uint8), fill_R.astype(jnp.uint8), n=n
-        )
+        thr_K, thr_R, minima = _combine_flags_lean(nf, fill_K, fill_R, n=n)
         return TraversalResult(thr_K=thr_K, thr_R=thr_R, minima=minima,
                                da=None, stats=stats)
     pf = _unpack_flags(nf, n)
@@ -1241,7 +1270,7 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     # RUNNING per-position net counts respect the lane bounds — the same
     # max-depth bound that guards the scatter packing itself
     if lean and int(st_l[2]) < _LANE3_SAFE_DEPTH:
-        fill_K, fill_R, fill_D = _fills_from_dif3(dif, n=n)
+        fill_K, fill_R, fill_D = _fills_from_dif3(dif)
         del dif
     elif int(st_l[2]) < _LANE3_SAFE_DEPTH:
         netK, netR, netD = _split_lanes3(jnp.cumsum(dif[:n]))

@@ -167,16 +167,102 @@ def _route(flat, keep, dest, segN, *, n_dev, sid):
     return rq, n_rq, ovf
 
 
+# ---------------------------------------------------------------------------
+# bounded dispatches + checkpoint/resume (SURVEY §5: "phases 2/3 wavefronts
+# can checkpoint their frontier + bitvectors"; the single-chip analogue is
+# models/traverse._run_phase). Each frontier phase runs at most `max_iters`
+# queue steps per device dispatch and carries its full per-shard state
+# (queue, head/tail, flag buffer, stats, pending, overflow) across
+# dispatches; the host driver persists that state to EBWT_CKPT_DIR every
+# EBWT_CKPT_EVERY dispatches and resumes from it after a kill.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mesh", "caprows", "w", "flag_len"))
+def _frontier_state_init(mesh, seed, *, caprows, w, flag_len):
+    """Initial per-shard phase state: the seed row on shard 0's queue, a
+    pristine flag buffer per shard, zero stats. Returns the cross-dispatch
+    state tuple (q (n_dev,caprows,w), head/tail (n_dev,), flag
+    (n_dev,flag_len), stats (n_dev,4), pending (), govf ())."""
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),),
+             out_specs=(P(AXIS, None, None), P(AXIS), P(AXIS),
+                        P(AXIS, None), P(AXIS, None), P(), P()),
+             check_vma=False)
+    def run(seed_rep):
+        sid = jax.lax.axis_index(AXIS)
+        q = jnp.zeros((caprows, w), jnp.int32)
+        q = q.at[0].set(jnp.where(sid == 0, seed_rep, 0))
+        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
+        flag = jnp.zeros(flag_len, jnp.int32)
+        return (q[None], jnp.zeros(1, jnp.int32), tail0[None], flag[None],
+                jnp.zeros((1, 4), jnp.int32), jax.lax.psum(tail0, AXIS),
+                jnp.int32(0))
+
+    return run(seed)
+
+
+def _ckpt_file(tag: str):
+    d = _os.environ.get("EBWT_CKPT_DIR")
+    return _os.path.join(d, f"frontier_{tag}.npz") if d else None
+
+
+def _drive_phase(dispatch, state, mesh, *, tag: str, caprows: int):
+    """Host dispatch loop: run bounded dispatches until the frontier
+    drains or a budget overflows, checkpointing the carried state every
+    EBWT_CKPT_EVERY dispatches (resume handled by _maybe_resume)."""
+    path = _ckpt_file(tag)
+    every = int(_os.environ.get("EBWT_CKPT_EVERY", 0))
+    d = 0
+    while True:
+        out = dispatch(state)
+        state, stats, govf = out[0], out[1], out[2]
+        extra = out[3] if len(out) > 3 else None
+        d += 1
+        pending = int(state[5])
+        if int(govf) or pending == 0:
+            break
+        if path and every and d % every == 0:
+            _os.makedirs(_os.path.dirname(path), exist_ok=True)
+            np.savez(path, caprows=caprows,
+                     **{f"s{i}": np.asarray(s) for i, s in enumerate(state)})
+    if path and int(govf) == 0 and _os.path.isfile(path):
+        _os.remove(path)
+    return state, stats, govf, extra
+
+
+def _maybe_resume(state, mesh, *, tag: str, caprows: int):
+    """Replace the freshly-initialized state with the checkpointed one
+    when a compatible checkpoint exists (same queue capacity)."""
+    path = _ckpt_file(tag)
+    if not path or not _os.path.isfile(path):
+        return state
+    z = np.load(path)
+    if int(z["caprows"]) != caprows:
+        return state
+    from jax.sharding import NamedSharding
+
+    specs = (P(AXIS, None, None), P(AXIS), P(AXIS), P(AXIS, None),
+             P(AXIS, None), P(), P())
+    return tuple(
+        jax.device_put(z[f"s{i}"], NamedSharding(mesh, sp))
+        for i, sp in enumerate(specs)
+    )
+
+
 @partial(jax.jit,
          static_argnames=("mesh", "rows", "queue_cap", "chunk", "wbudget",
-                          "fbudget", "seg", "K", "k_right"))
-def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
-                         wbudget, fbudget, seg, K, k_right):
-    """One frontier-sharded internal-node phase. F6 = (F_A,F_C,F_G,F_T,n).
-    Returns per-shard packed flag words (P(AXIS), rows*16 words each),
-    psum'd stats(4,), a global overflow count (host retries bigger), and
-    the per-shard processed-node counts (n_dev,) — the load-balance
-    evidence for the ~1/n_dev queue-machinery scaling claim."""
+                          "fbudget", "seg", "K", "k_right", "max_iters"))
+def _frontier_node_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
+                         wbudget, fbudget, seg, K, k_right,
+                         max_iters=1 << 30):
+    """One frontier-sharded internal-node phase dispatch (at most
+    max_iters queue steps). F6 = (F_A,F_C,F_G,F_T,n). Takes and returns
+    the cross-dispatch state of _frontier_state_init (flag buffer =
+    per-shard packed nibble words, rows*16 each); also returns psum'd
+    stats(4,), a global overflow count (host retries bigger), and the
+    per-shard processed-node counts (n_dev,) — the load-balance evidence
+    for the ~1/n_dev queue-machinery scaling claim."""
     n_dev = mesh.devices.size
     M = 4 * chunk  # children slots per chunk; chunk is a power of two
     # budgets are clamped to their entry-vector lengths: n_wide <= chunk
@@ -188,27 +274,25 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
     NW = n_dev * wbudget
     MAXAPP = n_dev * seg + 4 * NW  # rows appended per step, worst case
 
+    _state_specs = (P(AXIS, None, None), P(AXIS), P(AXIS), P(AXIS, None),
+                    P(AXIS, None), P(), P())
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None), P()),
-             out_specs=(P(AXIS), P(), P(), P()),
+             in_specs=(P(AXIS, None), P(), _state_specs),
+             out_specs=(_state_specs, P(), P(), P()),
              check_vma=False)
-    def run(blocks_l, F6_rep):
+    def run(blocks_l, F6_rep, state_l):
         sid = jax.lax.axis_index(AXIS)
         F4 = F6_rep[:4]
-        n_total = F6_rep[4]
         base_row = sid * rows
         base_pos = base_row * 128
         local_pos = rows * 128
-        nw_l = rows * 16  # packed nibble words per shard
         # one-row right halo: every narrow node's second anchor is local
         halo = jax.lax.ppermute(
             blocks_l[0], AXIS,
             [(i, (i - 1) % n_dev) for i in range(n_dev)]
         )
         blocks_h = jnp.concatenate([blocks_l, halo[None]], axis=0)
-
-        q = jnp.zeros((queue_cap + MAXAPP, 7), dtype=jnp.int32)
-        nf_l = jnp.zeros(nw_l, dtype=jnp.int32)
 
         def flag_entries(rows7, vmask):
             c = rows7[:, :6]
@@ -234,7 +318,7 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             return (jnp.concatenate(idxs), jnp.concatenate(vals), lcp, nmin)
 
         def body(state):
-            (q, head, tail, nf_l, stats, pending, govf) = state
+            (q, head, tail, nf_l, stats, pending, govf, it) = state
             need = (tail + MAXAPP) > q.shape[0]
             q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
                              lambda a, h: a, q, head)
@@ -378,42 +462,42 @@ def _frontier_node_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             glob = jax.lax.psum(
                 jnp.stack([tail - head, ovf]), AXIS
             )
-            return (q, head, tail, nf_l, stats, glob[0], govf + glob[1])
+            return (q, head, tail, nf_l, stats, glob[0], govf + glob[1],
+                    it + 1)
 
         def cond(state):
-            return (state[5] > 0) & (state[6] == 0)
+            return (state[5] > 0) & (state[6] == 0) & \
+                (state[7] < max_iters)
 
-        # seed: shard 0 holds the root (spans the whole BWT -> wide path)
-        root_row = jnp.concatenate([
-            jnp.zeros(1, jnp.int32), F4, n_total[None],
-            jnp.zeros(1, jnp.int32),
-        ])
-        q = q.at[0].set(jnp.where(sid == 0, root_row, 0))
-        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
-        stats0 = (jnp.int32(0),) * 4
-        state = (q, jnp.int32(0), tail0, nf_l, stats0,
-                 jax.lax.psum(tail0, AXIS), jnp.int32(0))
+        q3, head1, tail1, nf2, stats2, pending, govf = state_l
+        state = (q3[0], head1[0], tail1[0], nf2[0], tuple(stats2[0]),
+                 pending, govf, jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)
-        _, _, _, nf_l, stats, _, govf = state
+        q, head, tail, nf_l, stats, pending, govf, _ = state
         # per-shard processed counts (replicated): the load-balance
         # evidence for the ~1/n_dev queue-machinery scaling claim
         work = jax.lax.all_gather(stats[0], AXIS)
-        return nf_l, jax.lax.psum(jnp.stack(stats), AXIS), govf, work
+        state_out = (q[None], head[None], tail[None], nf_l[None],
+                     jnp.stack(stats)[None], pending, govf)
+        return (state_out, jax.lax.psum(jnp.stack(stats), AXIS), govf,
+                work)
 
-    return run(blocks, F6)
+    return run(blocks, F6, state)
 
 
 @partial(jax.jit,
          static_argnames=("mesh", "rows", "queue_cap", "chunk", "wbudget",
-                          "fbudget", "seg", "K", "k_right"))
-def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
-                         wbudget, fbudget, seg, K, k_right):
-    """Frontier-sharded leaf phase (update_LCP_leaf, ebwt2InDel.cpp:344-355;
-    next_leaves dna_bwt.hpp:358-379). Same machinery as the node phase with
-    3-wide rows [first, second, depth], a 2-anchor lf_range, and dual-lane
-    packed boundary deltas (models/traverse._leaf_body) written to a
-    per-shard (rows*128,) delta vector. Returns (dif_l sharded, stats(4,)
-    psum'd [leaves, lcp, max_depth, maxp], overflow count)."""
+                          "fbudget", "seg", "K", "k_right", "max_iters"))
+def _frontier_leaf_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
+                         wbudget, fbudget, seg, K, k_right,
+                         max_iters=1 << 30):
+    """Frontier-sharded leaf phase dispatch (update_LCP_leaf,
+    ebwt2InDel.cpp:344-355; next_leaves dna_bwt.hpp:358-379). Same
+    machinery as the node phase with 3-wide rows [first, second, depth],
+    a 2-anchor lf_range, and dual-lane packed boundary deltas
+    (models/traverse._leaf_body) written to a per-shard (rows*128,) delta
+    vector (the state's flag buffer). Returns (state, stats(4,) psum'd
+    [leaves, lcp, max_depth, maxp], overflow count, 0)."""
     n_dev = mesh.devices.size
     M = 4 * chunk
     # clamp budgets to their entry-vector bounds (see _frontier_node_phase)
@@ -422,11 +506,14 @@ def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
     NW = n_dev * wbudget
     MAXAPP = n_dev * seg + 4 * NW
 
+    _state_specs = (P(AXIS, None, None), P(AXIS), P(AXIS), P(AXIS, None),
+                    P(AXIS, None), P(), P())
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None), P()),
-             out_specs=(P(AXIS), P(), P()),
+             in_specs=(P(AXIS, None), P(), _state_specs),
+             out_specs=(_state_specs, P(), P(), P()),
              check_vma=False)
-    def run(blocks_l, F6_rep):
+    def run(blocks_l, F6_rep, state_l):
         sid = jax.lax.axis_index(AXIS)
         F4 = F6_rep[:4]
         base_row = sid * rows
@@ -437,9 +524,6 @@ def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
             [(i, (i - 1) % n_dev) for i in range(n_dev)]
         )
         blocks_h = jnp.concatenate([blocks_l, halo[None]], axis=0)
-
-        q = jnp.zeros((queue_cap + MAXAPP, 3), dtype=jnp.int32)
-        dif_l = jnp.zeros(local_pos, dtype=jnp.int32)
 
         def delta_entries(rows3, vmask):
             first, second, depth = rows3[:, 0], rows3[:, 1], rows3[:, 2]
@@ -461,7 +545,7 @@ def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
                 val, mode="drop")
 
         def body(state):
-            (q, head, tail, dif_l, stats, pending, govf) = state
+            (q, head, tail, dif_l, stats, pending, govf, it) = state
             need = (tail + MAXAPP) > q.shape[0]
             q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
                              lambda a, h: a, q, head)
@@ -594,27 +678,26 @@ def _frontier_leaf_phase(mesh, blocks, F6, *, rows, queue_cap, chunk,
                      jnp.maximum(stats[2], maxd),
                      jnp.maximum(stats[3], tail - head))
             glob = jax.lax.psum(jnp.stack([tail - head, ovf]), AXIS)
-            return (q, head, tail, dif_l, stats, glob[0], govf + glob[1])
+            return (q, head, tail, dif_l, stats, glob[0], govf + glob[1],
+                    it + 1)
 
         def cond(state):
-            return (state[5] > 0) & (state[6] == 0)
+            return (state[5] > 0) & (state[6] == 0) & \
+                (state[7] < max_iters)
 
-        # first leaf: (0, F_A, 0) on shard 0 (dna_bwt.hpp:313-317)
-        first_leaf = jnp.stack(
-            [jnp.int32(0), F4[0], jnp.int32(0)]
-        )
-        q = q.at[0].set(jnp.where(sid == 0, first_leaf, 0))
-        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
-        stats0 = (jnp.int32(0),) * 4
-        state = (q, jnp.int32(0), tail0, dif_l, stats0,
-                 jax.lax.psum(tail0, AXIS), jnp.int32(0))
+        q3, head1, tail1, dif2, stats2, pending, govf = state_l
+        state = (q3[0], head1[0], tail1[0], dif2[0], tuple(stats2[0]),
+                 pending, govf, jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)
-        _, _, _, dif_l, stats, _, govf = state
+        q, head, tail, dif_l, stats, pending, govf, _ = state
         smax = jax.lax.pmax(jnp.stack([stats[2], stats[3]]), AXIS)
         ssum = jax.lax.psum(jnp.stack([stats[0], stats[1]]), AXIS)
-        return dif_l, jnp.concatenate([ssum, smax]), govf
+        state_out = (q[None], head[None], tail[None], dif_l[None],
+                     jnp.stack(stats)[None], pending, govf)
+        return (state_out, jnp.concatenate([ssum, smax]), govf,
+                jnp.int32(0))
 
-    return run(blocks, F6)
+    return run(blocks, F6, state)
 
 
 @partial(jax.jit, static_argnames=("mesh", "rows"))
@@ -625,9 +708,11 @@ def _combine_frontier(mesh, nf, dif, *, rows):
     lane bound as the scatter), then carry-aware lane decode."""
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS), P(AXIS)),
+             in_specs=(P(AXIS, None), P(AXIS, None)),
              out_specs=(P(AXIS),) * 3)
     def run(nf_l, dif_l):
+        nf_l = nf_l[0]
+        dif_l = dif_l[0]
         sid = jax.lax.axis_index(AXIS)
         n_dev = jax.lax.axis_size(AXIS)
         cs = jnp.cumsum(dif_l)  # packed dual-lane prefix (bounded lanes)
@@ -667,13 +752,26 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
         [sfm.F, jnp.asarray([sfm.n], jnp.int32)]
     )
 
+    F_host = np.asarray(sfm.F, dtype=np.int32)
+    it_bound = t1._DISPATCH_ITERS
+
     wb, fb, sg, qc = wbudget, fbudget, seg, queue_cap
     while True:
-        dif, st_l, ovf = _frontier_leaf_phase(
-            mesh, sfm.blocks, F6, rows=rows, queue_cap=qc, chunk=chunk,
-            wbudget=wb, fbudget=fb, seg=sg, K=K, k_right=k_right,
+        caprows = qc + n_dev * sg + 4 * n_dev * min(wb, chunk)
+        seed = jnp.asarray([0, int(F_host[0]), 0], jnp.int32)
+        state = _frontier_state_init(mesh, seed, caprows=caprows, w=3,
+                                     flag_len=rows * 128)
+        state = _maybe_resume(state, mesh, tag="m1leaf", caprows=caprows)
+        state, st_l, ovf, _ = _drive_phase(
+            lambda st: _frontier_leaf_phase(
+                mesh, sfm.blocks, F6, st, rows=rows, queue_cap=qc,
+                chunk=chunk, wbudget=wb, fbudget=fb, seg=sg, K=K,
+                k_right=k_right, max_iters=it_bound,
+            ),
+            state, mesh, tag="m1leaf", caprows=caprows,
         )
         if int(ovf) == 0:
+            dif = state[3]  # (n_dev, rows*128) P(AXIS, None)
             break
         qc *= 2
         wb *= 2
@@ -691,11 +789,22 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
 
     wb, fb, sg, qc = wbudget, fbudget, seg, queue_cap
     while True:
-        nf, st_n, ovf, _ = _frontier_node_phase(
-            mesh, sfm.blocks, F6, rows=rows, queue_cap=qc, chunk=chunk,
-            wbudget=wb, fbudget=fb, seg=sg, K=K, k_right=k_right,
+        caprows = qc + n_dev * sg + 4 * n_dev * min(wb, chunk)
+        seed = jnp.asarray(
+            [0, *(int(x) for x in F_host), sfm.n, 0], jnp.int32)
+        state = _frontier_state_init(mesh, seed, caprows=caprows, w=7,
+                                     flag_len=rows * 16)
+        state = _maybe_resume(state, mesh, tag="m1node", caprows=caprows)
+        state, st_n, ovf, _ = _drive_phase(
+            lambda st: _frontier_node_phase(
+                mesh, sfm.blocks, F6, st, rows=rows, queue_cap=qc,
+                chunk=chunk, wbudget=wb, fbudget=fb, seg=sg, K=K,
+                k_right=k_right, max_iters=it_bound,
+            ),
+            state, mesh, tag="m1node", caprows=caprows,
         )
         if int(ovf) == 0:
+            nf = state[3]  # (n_dev, rows*16) P(AXIS, None)
             break
         qc *= 2
         wb *= 2
@@ -730,10 +839,11 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
 @partial(jax.jit,
          static_argnames=("mesh", "rows1", "rows2", "local_n", "queue_cap",
                           "chunk", "seg", "fseg", "qseg", "wbudget", "K",
-                          "k_right"))
-def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
-                              rows2, local_n, queue_cap, chunk, seg,
-                              fseg, qseg, wbudget, K, k_right):
+                          "k_right", "max_iters"))
+def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, state, *,
+                              rows1, rows2, local_n, queue_cap, chunk, seg,
+                              fseg, qseg, wbudget, K, k_right,
+                              max_iters=1 << 30):
     """Frontier-sharded lockstep leaf-pair phase (modes 2/3 merge;
     reference update_DA ebwt2InDel.cpp:394-425 + next_leaves
     dna_bwt.hpp:358-379; cf. models/traverse._leaf_pair_body3).
@@ -752,7 +862,9 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
     children. Returns (dif_l sharded (local_n,) int32, stats(4,)
     [leaves, lcp, max_depth, da_sum], overflow count).
 
-    meta = concat(F1(4), F2(4), first_leaf_pair_row(5))."""
+    meta = concat(F1(4), F2(4)); takes/returns the cross-dispatch state
+    of _frontier_state_init (flag buffer = the (local_n,) tri-lane delta
+    vector), running at most max_iters queue steps per dispatch."""
     n_dev = mesh.devices.size
     M = 4 * chunk
     G = n_dev * chunk
@@ -760,15 +872,17 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
     NW = n_dev * wbudget
     MAXAPP = n_dev * seg + (4 * NW if _PAIR_ROUTE else 0)
 
+    _state_specs = (P(AXIS, None, None), P(AXIS), P(AXIS), P(AXIS, None),
+                    P(AXIS, None), P(), P())
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None), P(AXIS, None), P()),
-             out_specs=(P(AXIS), P(), P()),
+             in_specs=(P(AXIS, None), P(AXIS, None), P(), _state_specs),
+             out_specs=(_state_specs, P(), P()),
              check_vma=False)
-    def run(b1_l, b2_l, meta_rep):
+    def run(b1_l, b2_l, meta_rep, state_l):
         sid = jax.lax.axis_index(AXIS)
         F1 = meta_rep[:4]
         F2 = meta_rep[4:8]
-        seed_row = meta_rep[8:13]
         base_row = sid * rows1
         base_pos = sid * local_n
         halo = jax.lax.ppermute(
@@ -780,9 +894,6 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                 b2_l[0], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)]
             )
             b2_h = jnp.concatenate([b2_l, halo2[None]], axis=0)
-
-        q = jnp.zeros((queue_cap + MAXAPP, 5), dtype=jnp.int32)
-        dif_l = jnp.zeros(local_n, dtype=jnp.int32)
 
         def delta_entries(rows5, vmask):
             """Tri-lane (position, word) boundary-delta entries of the
@@ -804,7 +915,7 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
             return didx, dval, dkeep, lcp, dav
 
         def body(state):
-            (q, head, tail, dif_l, stats, pending, govf) = state
+            (q, head, tail, dif_l, stats, pending, govf, it) = state
             need = (tail + MAXAPP) > q.shape[0]
             q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
                              lambda a, h: a, q, head)
@@ -1021,27 +1132,29 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                     stats[3] + da_v,
                 )
             glob = jax.lax.psum(jnp.stack([tail - head, ovf]), AXIS)
-            return (q, head, tail, dif_l, stats, glob[0], govf + glob[1])
+            return (q, head, tail, dif_l, stats, glob[0], govf + glob[1],
+                    it + 1)
 
         def cond(state):
-            return (state[5] > 0) & (state[6] == 0)
+            return (state[5] > 0) & (state[6] == 0) & \
+                (state[7] < max_iters)
 
-        q = q.at[0].set(jnp.where(sid == 0, seed_row, 0))
-        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
-        stats0 = (jnp.int32(0),) * 4
-        state = (q, jnp.int32(0), tail0, dif_l, stats0,
-                 jax.lax.psum(tail0, AXIS), jnp.int32(0))
+        q3, head1, tail1, dif2, stats2, pending, govf = state_l
+        state = (q3[0], head1[0], tail1[0], dif2[0], tuple(stats2[0]),
+                 pending, govf, jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)
-        _, _, _, dif_l, stats, _, govf = state
+        q, head, tail, dif_l, stats, pending, govf, _ = state
         smax = jax.lax.pmax(stats[2], AXIS)
         ssum = jax.lax.psum(
             jnp.stack([stats[0], stats[1], stats[3]]), AXIS
         )
-        return dif_l, jnp.stack(
+        state_out = (q[None], head[None], tail[None], dif_l[None],
+                     jnp.stack(stats)[None], pending, govf)
+        return state_out, jnp.stack(
             [ssum[0], ssum[1], smax, ssum[2]]
         ), govf
 
-    return run(blocks1, blocks2, meta)
+    return run(blocks1, blocks2, meta, state)
 
 
 @partial(jax.jit, static_argnames=("mesh",))
@@ -1055,9 +1168,10 @@ def _combine_frontier_pair(mesh, nf, dif):
     by local_n merged positions."""
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS), P(AXIS)),
+             in_specs=(P(AXIS), P(AXIS, None)),
              out_specs=(P(AXIS),) * 4)
     def run(nf_l, dif_l):
+        dif_l = dif_l[0]
         sid = jax.lax.axis_index(AXIS)
         n_dev = jax.lax.axis_size(AXIS)
         cs = jnp.cumsum(dif_l)
@@ -1077,10 +1191,11 @@ def _combine_frontier_pair(mesh, nf, dif):
 @partial(jax.jit,
          static_argnames=("mesh", "rows1", "rows2", "local_n", "queue_cap",
                           "chunk", "seg", "fseg", "qseg", "wbudget", "K",
-                          "k_right"))
-def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
-                              rows2, local_n, queue_cap, chunk, seg,
-                              fseg, qseg, wbudget, K, k_right):
+                          "k_right", "max_iters"))
+def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, state, *,
+                              rows1, rows2, local_n, queue_cap, chunk, seg,
+                              fseg, qseg, wbudget, K, k_right,
+                              max_iters=1 << 30):
     """Frontier-sharded lockstep node-pair phase (modes 2/3 merge;
     reference find_leaves ebwt2InDel.cpp:474-527 + merged-node updates
     792-802; cf. models/traverse._node_pair_body).
@@ -1110,15 +1225,17 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
     MAXAPP = n_dev * seg + (4 * NW if _PAIR_ROUTE else 0)
     nw_l = (local_n + 7) // 8
 
+    _state_specs = (P(AXIS, None, None), P(AXIS), P(AXIS), P(AXIS, None),
+                    P(AXIS, None), P(), P())
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None), P(AXIS, None), P()),
-             out_specs=(P(AXIS), P(), P()),
+             in_specs=(P(AXIS, None), P(AXIS, None), P(), _state_specs),
+             out_specs=(_state_specs, P(), P()),
              check_vma=False)
-    def run(b1_l, b2_l, meta_rep):
+    def run(b1_l, b2_l, meta_rep, state_l):
         sid = jax.lax.axis_index(AXIS)
         F1 = meta_rep[:4]
         F2 = meta_rep[4:8]
-        root_row = meta_rep[8:21]
         base_row = sid * rows1
         base_pos = sid * local_n
         halo = jax.lax.ppermute(
@@ -1130,9 +1247,6 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                 b2_l[0], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)]
             )
             b2_h = jnp.concatenate([b2_l, halo2[None]], axis=0)
-
-        q = jnp.zeros((queue_cap + MAXAPP, 13), dtype=jnp.int32)
-        nf_l = jnp.zeros(nw_l, dtype=jnp.int32)
 
         def route(flat, keep, dest, segN):
             return _route(flat, keep, dest, segN, n_dev=n_dev, sid=sid)
@@ -1173,7 +1287,7 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
                     lcp, nmin, da_values)
 
         def body(state):
-            (q, head, tail, nf_l, stats, pending, govf) = state
+            (q, head, tail, nf_l, stats, pending, govf, it) = state
             need = (tail + MAXAPP) > q.shape[0]
             q = jax.lax.cond(need, lambda a, h: jnp.roll(a, -h, axis=0),
                              lambda a, h: a, q, head)
@@ -1379,21 +1493,23 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, *, rows1,
             stats = (stats[0] + count, stats[1] + lcp_v, stats[2] + min_v,
                      stats[3] + da_v)
             glob = jax.lax.psum(jnp.stack([tail - head, ovf]), AXIS)
-            return (q, head, tail, nf_l, stats, glob[0], govf + glob[1])
+            return (q, head, tail, nf_l, stats, glob[0], govf + glob[1],
+                    it + 1)
 
         def cond(state):
-            return (state[5] > 0) & (state[6] == 0)
+            return (state[5] > 0) & (state[6] == 0) & \
+                (state[7] < max_iters)
 
-        q = q.at[0].set(jnp.where(sid == 0, root_row, 0))
-        tail0 = jnp.where(sid == 0, jnp.int32(1), jnp.int32(0))
-        stats0 = (jnp.int32(0),) * 4
-        state = (q, jnp.int32(0), tail0, nf_l, stats0,
-                 jax.lax.psum(tail0, AXIS), jnp.int32(0))
+        q3, head1, tail1, nf2, stats2, pending, govf = state_l
+        state = (q3[0], head1[0], tail1[0], nf2[0], tuple(stats2[0]),
+                 pending, govf, jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)
-        _, _, _, nf_l, stats, _, govf = state
-        return nf_l, jax.lax.psum(jnp.stack(stats), AXIS), govf
+        q, head, tail, nf_l, stats, pending, govf, _ = state
+        state_out = (q[None], head[None], tail[None], nf_l[None],
+                     jnp.stack(stats)[None], pending, govf)
+        return state_out, jax.lax.psum(jnp.stack(stats), AXIS), govf
 
-    return run(blocks1, blocks2, meta)
+    return run(blocks1, blocks2, meta, state)
 
 
 def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
@@ -1429,13 +1545,25 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
     sg, fg = seg, fseg
     qg = max(256, 2 * chunk // n_dev)
     wb = 512
+    it_bound = t1._DISPATCH_ITERS
     while True:
-        dif, st_l, ovf = _frontier_leaf_pair_phase(
-            mesh, sfm1.blocks, sfm2.blocks, meta_l, rows1=sfm1.rows,
-            rows2=sfm2.rows, local_n=local_n, queue_cap=qc, chunk=chunk,
-            seg=sg, fseg=fg, qseg=qg, wbudget=wb, K=K, k_right=k_right,
+        caprows = qc + n_dev * sg + (
+            4 * n_dev * min(wb, chunk) if _PAIR_ROUTE else 0)
+        seed = jnp.asarray([0, int(F1h[0]), 0, int(F2h[0]), 0], jnp.int32)
+        state = _frontier_state_init(mesh, seed, caprows=caprows, w=5,
+                                     flag_len=local_n)
+        state = _maybe_resume(state, mesh, tag="pleaf", caprows=caprows)
+        state, st_l, ovf, _ = _drive_phase(
+            lambda st: _frontier_leaf_pair_phase(
+                mesh, sfm1.blocks, sfm2.blocks, meta_l, st,
+                rows1=sfm1.rows, rows2=sfm2.rows, local_n=local_n,
+                queue_cap=qc, chunk=chunk, seg=sg, fseg=fg, qseg=qg,
+                wbudget=wb, K=K, k_right=k_right, max_iters=it_bound,
+            ),
+            state, mesh, tag="pleaf", caprows=caprows,
         )
         if int(ovf) == 0:
+            dif = state[3]  # (n_dev, local_n) P(AXIS, None)
             break
         qc *= 2
         sg *= 2
@@ -1462,12 +1590,23 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
     qg = max(256, 2 * chunk // n_dev)
     wb = 512
     while True:
-        nf_l, st_n, ovf = _frontier_node_pair_phase(
-            mesh, sfm1.blocks, sfm2.blocks, meta, rows1=sfm1.rows,
-            rows2=sfm2.rows, local_n=local_n, queue_cap=qc, chunk=chunk,
-            seg=sg, fseg=fg, qseg=qg, wbudget=wb, K=K, k_right=k_right,
+        caprows = qc + n_dev * sg + (
+            4 * n_dev * min(wb, chunk) if _PAIR_ROUTE else 0)
+        state = _frontier_state_init(mesh, jnp.asarray(root),
+                                     caprows=caprows, w=13,
+                                     flag_len=(local_n + 7) // 8)
+        state = _maybe_resume(state, mesh, tag="pnode", caprows=caprows)
+        state, st_n, ovf, _ = _drive_phase(
+            lambda st: _frontier_node_pair_phase(
+                mesh, sfm1.blocks, sfm2.blocks, meta, st,
+                rows1=sfm1.rows, rows2=sfm2.rows, local_n=local_n,
+                queue_cap=qc, chunk=chunk, seg=sg, fseg=fg, qseg=qg,
+                wbudget=wb, K=K, k_right=k_right, max_iters=it_bound,
+            ),
+            state, mesh, tag="pnode", caprows=caprows,
         )
         if int(ovf) == 0:
+            nf_l = state[3]  # (n_dev, nw_l) P(AXIS, None)
             break
         qc *= 2
         sg *= 2
@@ -1477,9 +1616,10 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
 
     # unpack the per-shard nibble words to the per-position int32 bit
     # layout the existing pair combine consumes
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS),),
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS, None),),
              out_specs=P(AXIS))
     def unpack(nf_loc):
+        nf_loc = nf_loc[0]
         return t1._unpack_flags(nf_loc, nf_loc.shape[0] * 8)[:local_n]
 
     nf_pos = unpack(nf_l)
@@ -1501,18 +1641,30 @@ def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
     chunk = 4096
     wbudget, fbudget, seg = 512, 2048, 2 * chunk
     queue_cap = max(1 << 16, pb.n // (16 * n_dev))
+    F_host = np.asarray(F, dtype=np.int32)
     while True:
-        nf_l, stats, ovf, work = _frontier_node_phase(
-            mesh, blocks, F6, rows=rows, queue_cap=queue_cap, chunk=chunk,
-            wbudget=wbudget, fbudget=fbudget, seg=seg, K=K, k_right=k_right,
+        caprows = queue_cap + n_dev * seg + 4 * n_dev * min(wbudget, chunk)
+        seed = jnp.asarray(
+            [0, *(int(x) for x in F_host), pb.n, 0], jnp.int32)
+        state = _frontier_state_init(mesh, seed, caprows=caprows, w=7,
+                                     flag_len=rows * 16)
+        state = _maybe_resume(state, mesh, tag="m1node", caprows=caprows)
+        state, stats, ovf, work = _drive_phase(
+            lambda st: _frontier_node_phase(
+                mesh, blocks, F6, st, rows=rows, queue_cap=queue_cap,
+                chunk=chunk, wbudget=wbudget, fbudget=fbudget, seg=seg,
+                K=K, k_right=k_right, max_iters=t1._DISPATCH_ITERS,
+            ),
+            state, mesh, tag="m1node", caprows=caprows,
         )
         if int(ovf) == 0:
+            nf_l = state[3]
             break
         queue_cap *= 2
         wbudget *= 2
         fbudget *= 2
         seg *= 2
-    nf = np.asarray(nf_l).view(np.uint32)
+    nf = np.asarray(nf_l).reshape(-1).view(np.uint32)
     pf = np.zeros(len(nf) * 8, np.uint8)
     for i in range(8):
         pf[i::8] = (nf >> np.uint32(4 * i)) & np.uint32(15)

@@ -392,3 +392,86 @@ def test_pair_route_comm_volume_accounting():
             prev_routed = routed
         # at pod scale the gap is an order of magnitude+
         assert gathered > 10 * routed
+
+
+def test_frontier_checkpoint_resume_kill_restart(rng, tmp_path, monkeypatch):
+    """Frontier-phase checkpoint/resume (SURVEY §5): a run killed mid-phase
+    and restarted from EBWT_CKPT_DIR must produce byte-identical flags to
+    an uninterrupted run — for the mode-1 phases and the pair phases."""
+    from ebwt2indel_tpu.models import traverse as t1
+    from ebwt2indel_tpu.parallel import frontier
+
+    mesh = shard.make_mesh(8)
+    codes1 = random_codes(rng, 40000, p_term=0.03)
+    codes2 = random_codes(rng, 30000, p_term=0.03)
+    pb1 = packing.pack_codes(codes1)
+    pb2 = packing.pack_codes(codes2)
+    sfm1 = shard.shard_fm(pb1, mesh)
+    sfm2 = shard.shard_fm(pb2, mesh)
+    K, k_right = 5, 8
+
+    base1 = frontier.navigate_one_bwt_frontier_device(sfm1, K, k_right)
+    base2 = frontier.navigate_two_bwts_frontier_device(sfm1, sfm2, K,
+                                                       k_right)
+
+    # small dispatch bound -> several dispatches per phase; checkpoint
+    # after every dispatch; crash injection on a chosen dispatch
+    monkeypatch.setattr(t1, "_DISPATCH_ITERS", 2)
+    monkeypatch.setenv("EBWT_CKPT_DIR", str(tmp_path))
+    monkeypatch.setenv("EBWT_CKPT_EVERY", "1")
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_after(fn, k):
+        calls = {"n": 0}
+
+        def wrapped(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == k:
+                raise Boom()
+            return fn(*a, **kw)
+
+        return wrapped
+
+    # mode 1: kill during the leaf phase, then during the node phase
+    orig_leaf = frontier._frontier_leaf_phase
+    monkeypatch.setattr(frontier, "_frontier_leaf_phase",
+                        crash_after(orig_leaf, 3))
+    with pytest.raises(Boom):
+        frontier.navigate_one_bwt_frontier_device(sfm1, K, k_right)
+    assert (tmp_path / "frontier_m1leaf.npz").is_file()
+    monkeypatch.setattr(frontier, "_frontier_leaf_phase", orig_leaf)
+
+    orig_node = frontier._frontier_node_phase
+    monkeypatch.setattr(frontier, "_frontier_node_phase",
+                        crash_after(orig_node, 3))
+    with pytest.raises(Boom):
+        frontier.navigate_one_bwt_frontier_device(sfm1, K, k_right)
+    assert (tmp_path / "frontier_m1node.npz").is_file()
+    monkeypatch.setattr(frontier, "_frontier_node_phase", orig_node)
+
+    got1 = frontier.navigate_one_bwt_frontier_device(sfm1, K, k_right)
+    for b, g in zip(base1[:3], got1[:3]):
+        np.testing.assert_array_equal(np.asarray(b)[: pb1.n],
+                                      np.asarray(g)[: pb1.n])
+    # phase completion removes the checkpoints
+    assert not (tmp_path / "frontier_m1leaf.npz").is_file()
+    assert not (tmp_path / "frontier_m1node.npz").is_file()
+
+    # pair phases: kill during the leaf-pair phase
+    orig_pleaf = frontier._frontier_leaf_pair_phase
+    monkeypatch.setattr(frontier, "_frontier_leaf_pair_phase",
+                        crash_after(orig_pleaf, 3))
+    with pytest.raises(Boom):
+        frontier.navigate_two_bwts_frontier_device(sfm1, sfm2, K, k_right)
+    assert (tmp_path / "frontier_pleaf.npz").is_file()
+    monkeypatch.setattr(frontier, "_frontier_leaf_pair_phase", orig_pleaf)
+
+    got2 = frontier.navigate_two_bwts_frontier_device(sfm1, sfm2, K,
+                                                      k_right)
+    n = pb1.n + pb2.n
+    for b, g in zip(base2[:4], got2[:4]):
+        np.testing.assert_array_equal(np.asarray(b)[:n], np.asarray(g)[:n])
+    assert not (tmp_path / "frontier_pleaf.npz").is_file()
+    assert not (tmp_path / "frontier_pnode.npz").is_file()
