@@ -211,6 +211,15 @@ def _anchor_from_words(words, *, n: int):
     return words, jnp.concatenate([T, jnp.full(1, pat32(n), jnp.int32)])
 
 
+def right_anchor_table_packed(thr_R_words, *, n: int):
+    """Anchor structure straight from bit-packed thr_R words (the huge-n
+    TraversalResult.packed layout) — no bv_build pass, no (n,) uint8
+    vector ever materializes."""
+    W = 4 * (-(-n // 128))
+    w = thr_R_words[:W] if thr_R_words.shape[0] != W else thr_R_words
+    return _anchor_from_words(w, n=n)
+
+
 def first_thr_position_device(next_set, begins_dev, ends_dev):
     """Device variant of first_thr_position: returns (pos, found) device
     arrays for the given cluster ranges. Accepts either anchor structure

@@ -254,6 +254,112 @@ def _extract_runs_masked(mask, n_ends, *, cap, mcov_out, n):
                             mcov_out=mcov_out)
 
 
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n",))
+def _mask_and_counts_packed(thrK_w, min_w, *, n: int):
+    """Cluster mask words (thr_K & ~minima, bit-packed) + run start/end
+    counts from word-level bit tricks — the huge-n (TraversalResult.packed)
+    formulation: no O(n) byte vector at any point."""
+    mw = thrK_w & ~min_w
+    carry = jnp.concatenate([jnp.zeros(1, jnp.uint32), mw[:-1]])
+    shifted = (mw << jnp.uint32(1)) | \
+        jax.lax.shift_right_logical(carry, jnp.uint32(31))
+    start_bits = mw & ~shifted  # bit p: mask[p] & ~mask[p-1]
+    end_bits = ~mw & shifted    # bit p: mask[p-1] & ~mask[p] (end = p)
+    W = mw.shape[0]
+    if n < W * 32:
+        # a run reaching n-1 never closes (reference scan quirk): clear
+        # the would-be end bit at position n (pad bits are otherwise 0)
+        wi = n >> 5
+        end_bits = end_bits.at[wi].set(
+            end_bits[wi] & jnp.uint32((~(1 << (n & 31))) & 0xFFFFFFFF))
+    n_starts = jnp.sum(jax.lax.population_count(start_bits)
+                       .astype(jnp.int32))
+    n_ends = jnp.sum(jax.lax.population_count(end_bits).astype(jnp.int32))
+    return mw, n_starts, n_ends
+
+
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("cap", "mcov_out", "n"))
+def _extract_runs_masked_packed(mw, n_ends, *, cap, mcov_out, n):
+    """_extract_runs_masked over bit-packed mask words: each scan slice
+    unpacks L bits from L/32 words, so the only O(n)-scale allocation is
+    the n/8-byte padded word copy."""
+    from ..ops.coords import pat32
+    from .traverse import _LEAN_SLICE, _unpack_bits_u32
+
+    L = _LEAN_SLICE
+    S = -(-n // L)
+    B = L // 16
+    INF = jnp.int32(pat32(S * L))
+    n_pat = jnp.int32(pat32(n))
+    WS = S * L // 32
+    mwp = jnp.zeros(WS, jnp.uint32).at[: mw.shape[0]].set(mw)
+    sbuf = jnp.zeros(cap + L, jnp.int32)
+    ebuf = jnp.zeros(cap + L, jnp.int32)
+
+    def write(buf, keys, cnt, m):
+        def wcond(st):
+            return st[0] * B < m
+
+        def wstep(st):
+            it, bf = st
+            sl = jax.lax.dynamic_slice(keys, (it * B,), (B,))
+            bf = jax.lax.dynamic_update_slice(bf, sl, (cnt + it * B,))
+            return it + 1, bf
+
+        return jax.lax.while_loop(wcond, wstep, (jnp.int32(0), buf))[1]
+
+    def upsort(m, p):
+        key = jnp.where(m, p, INF).astype(jnp.uint32)
+        return jax.lax.sort(key, is_stable=False).astype(jnp.int32)
+
+    def step(carry, xs):
+        prev_bit, cnt_s, cnt_e, sbuf, ebuf = carry
+        wrow, base = xs
+        m = _unpack_bits_u32(wrow, L)
+        pos = base + jnp.arange(L, dtype=jnp.int32)
+        prev = jnp.concatenate([prev_bit[None], m[:-1]])
+        m_s = (m != 0) & (prev == 0)
+        m_e = (m == 0) & (prev != 0) & (pos != n_pat)
+        key_s = upsort(m_s, pos)
+        key_e = upsort(m_e, pos)
+        c_s = jnp.sum(m_s.astype(jnp.int32))
+        c_e = jnp.sum(m_e.astype(jnp.int32))
+        sbuf = write(sbuf, key_s, cnt_s, c_s)
+        ebuf = write(ebuf, key_e, cnt_e, c_e)
+        return (m[-1], cnt_s + c_s, cnt_e + c_e, sbuf, ebuf), 0
+
+    (_, n_s, _, sbuf, ebuf), _ = jax.lax.scan(
+        step,
+        (jnp.uint8(0), jnp.int32(0), jnp.int32(0), sbuf, ebuf),
+        (mwp.reshape(S, L // 32), jnp.arange(S, dtype=jnp.int32) * L),
+    )
+    return runs_to_clusters(sbuf[:cap], ebuf[:cap], n_ends, cap=cap,
+                            mcov_out=mcov_out)
+
+
+def find_clusters_device_packed(thrK_w, min_w, *, n: int,
+                                mcov_out: int) -> Clusters:
+    """find_clusters_device over bit-packed flag words (huge-n path)."""
+    from ..ops.coords import unpat
+
+    mw, n_starts, n_ends = _mask_and_counts_packed(thrK_w, min_w, n=n)
+    n_ends_i = unpat(n_ends)
+    cap = _cap(max(unpat(n_starts), 1))
+    a_begins, a_ends, n_analyzed, hist, size_sum = \
+        _extract_runs_masked_packed(mw, n_ends, cap=cap, mcov_out=mcov_out,
+                                    n=n)
+    n_analyzed_i = int(n_analyzed)
+    return Clusters(
+        begins=a_begins[:n_analyzed_i],
+        ends=a_ends[:n_analyzed_i],
+        n_clusters=n_analyzed_i,
+        clust_size_sum=unpat(size_sum),
+        n_closed=n_ends_i,
+        hist=np.asarray(hist),
+    )
+
+
 def find_clusters_device(thr_K_dev, minima_dev, mcov_out: int) -> Clusters:
     """Device-side equivalent of find_clusters: begins/ends stay on device
     (trimmed to the analyzed count); only scalar stats and the histogram are

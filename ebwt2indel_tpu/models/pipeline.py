@@ -129,9 +129,17 @@ def run_one_dataset(cfg: Config, log=_log) -> dict:
     # cluster detection and the right-context anchor table stay on device —
     # no O(n) flag transfer at all in mode 1
     tmark0 = _timing_marker()
-    next_thr = call.right_anchor_table(res.thr_R)
-    res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
-    cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
+    if res.packed:
+        # huge-n path: flags are bit-packed words end-to-end
+        next_thr = call.right_anchor_table_packed(res.thr_R, n=fm.n)
+        res.thr_R = None
+        cl = cluster.find_clusters_device_packed(
+            res.thr_K, res.minima, n=fm.n, mcov_out=cfg.mcov_out)
+    else:
+        next_thr = call.right_anchor_table(res.thr_R)
+        res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
+        cl = cluster.find_clusters_device(res.thr_K, res.minima,
+                                          cfg.mcov_out)
     res.thr_K = res.minima = None  # donated into cluster detection
     t4 = time.perf_counter()
     tmark0("cluster detect (device)")
@@ -257,14 +265,27 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
-    next_thr = call.right_anchor_table(res.thr_R)
-    res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
-    cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
-    res.thr_K = res.minima = None  # donated into cluster detection
-    # DA stays on device as a rank-ready packed bitvector — no O(n) host
-    # transfer (the reference scans its vector<bool> DA, cpp:1431-1432)
-    da_bv = bits.bv_build(res.da)
-    res.da = None
+    nn = fm1.n + fm2.n
+    if res.packed:
+        next_thr = call.right_anchor_table_packed(res.thr_R, n=nn)
+        res.thr_R = None
+        cl = cluster.find_clusters_device_packed(
+            res.thr_K, res.minima, n=nn, mcov_out=cfg.mcov_out)
+        res.thr_K = res.minima = None
+        # DA already arrives as rank-layout words; just add the counts
+        da_bv = (res.da, bits.bv_counts(res.da))
+        res.da = None
+    else:
+        next_thr = call.right_anchor_table(res.thr_R)
+        res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
+        cl = cluster.find_clusters_device(res.thr_K, res.minima,
+                                          cfg.mcov_out)
+        res.thr_K = res.minima = None  # donated into cluster detection
+        # DA stays on device as a rank-ready packed bitvector — no O(n)
+        # host transfer (the reference scans its vector<bool> DA,
+        # cpp:1431-1432)
+        da_bv = bits.bv_build(res.da)
+        res.da = None
 
     stats = _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da_bv, cfg)
     stats.update(st)
@@ -445,9 +466,16 @@ def run_two_datasets_da(cfg: Config, log=_log) -> dict:
     ex.shutdown()
     tmark_idx2("DA-side index (overlapped with navigation) wait")
 
-    next_thr = call.right_anchor_table(res.thr_R)
-    res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
-    cl = cluster.find_clusters_device(res.thr_K, res.minima, cfg.mcov_out)
+    if res.packed:
+        next_thr = call.right_anchor_table_packed(res.thr_R, n=fm.n)
+        res.thr_R = None
+        cl = cluster.find_clusters_device_packed(
+            res.thr_K, res.minima, n=fm.n, mcov_out=cfg.mcov_out)
+    else:
+        next_thr = call.right_anchor_table(res.thr_R)
+        res.thr_R = None  # the anchor structure replaces it (free ~n bytes)
+        cl = cluster.find_clusters_device(res.thr_K, res.minima,
+                                          cfg.mcov_out)
     res.thr_K = res.minima = None  # donated into cluster detection
 
     stats = _call_and_emit_pair_mode3(fm, fm_da1, cl, next_thr, da_bv, cfg)

@@ -98,32 +98,49 @@ def _narrow_budget(chunk_rows: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# boundary-delta vector addressing: 1-D below 2^31 entries, 2-D above
-# (s32 scatter indices cannot address arrays past 2^31 elements — negative
-# patterns drop; a (rows, _LEAN_SLICE) layout keeps both index components
-# in s32 range for any n < 2^32. Positions are unsigned bit patterns,
-# ops/coords.py.)
+# boundary-delta vector addressing: one 1-D array below 2^31 entries, a
+# (lo, hi) PAIR of 1-D arrays split at 2^31 above (s32 scatter indices
+# cannot address arrays past 2^31 elements). Positions are unsigned bit
+# patterns (ops/coords.py): the lo scatter sees patterns >= 2^31 as
+# negative (mode="drop" drops them); flipping the sign bit maps
+# [2^31, 2^32) onto [0, 2^31) for the hi scatter and maps [0, 2^31) to
+# negative (dropped). 1-D arrays also keep TPU layouts compact — a 2-D
+# (rows, 2^24) formulation tile-pads the row axis and broke donation
+# aliasing (10.5 GB copied per dispatch at 2.6G positions).
 # ---------------------------------------------------------------------------
 
-_LEAN_LOG = 24  # log2(_LEAN_SLICE)
+_HALF = 1 << 31
 
 
-def _dif_size(dif) -> int:
-    return int(np.prod(dif.shape))
+def _dif_size(flags) -> int:
+    """Total entries across the 1- or 2-piece delta vector."""
+    return int(sum(np.prod(f.shape) for f in flags))
 
 
-def _dif_dummy(dif):
-    """An index pattern guaranteed out-of-bounds (dropped) for this dif."""
-    return jnp.int32(pat32(_dif_size(dif)))
+def _dif_dummy(flags):
+    """An index pattern guaranteed out-of-bounds (dropped) in every piece."""
+    return jnp.int32(pat32(_dif_size(flags)))
 
 
-def _dif_scatter(dif, idx, val):
-    """Scatter-add boundary deltas at position patterns ``idx``."""
-    if dif.ndim == 1:
-        return dif.at[idx].add(val, mode="drop")
-    hi = jax.lax.shift_right_logical(idx, _LEAN_LOG)
-    lo = idx & jnp.int32(_LEAN_SLICE - 1)
-    return dif.at[hi, lo].add(val, mode="drop")
+def _dif_scatter(flags, idx, val):
+    """Scatter-add boundary deltas at position patterns ``idx`` into the
+    1- or 2-piece delta vector; returns the updated piece tuple.
+
+    NOTE mode="drop" only drops indices past the END — a NEGATIVE index
+    wraps Python-style and would corrupt the tail, so each piece zeroes
+    the values of entries belonging to the other half instead of relying
+    on the sign to drop them."""
+    if len(flags) == 1:
+        return (flags[0].at[idx].add(val, mode="drop"),)
+    lo, hi = flags
+    ok_lo = idx >= 0
+    lo = lo.at[jnp.where(ok_lo, idx, 0)].add(
+        jnp.where(ok_lo, val, 0), mode="drop")
+    idxh = idx ^ jnp.int32(-_HALF)
+    ok_hi = idxh >= 0
+    hi = hi.at[jnp.where(ok_hi, idxh, 0)].add(
+        jnp.where(ok_hi, val, 0), mode="drop")
+    return lo, hi
 
 
 @dataclasses.dataclass
@@ -136,6 +153,10 @@ class TraversalResult:
     minima: jax.Array  # (n,) uint8
     da: jax.Array | None  # (n,) uint8 (modes 2/3)
     stats: dict
+    # above 2^31 positions the flag fields are BIT-PACKED uint32 word
+    # arrays ((4*ceil(n/128),) each, the ops.bits.bv_build layout) — the
+    # uint8 form alone would not fit HBM; consumers branch on this flag
+    packed: bool = False
 
 
 def _sliced_prefix_gather(flat, idx, n_keep, budget: int):
@@ -361,12 +382,12 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
     formulation (_leaf_body_wide) reruns the phase in the pathological
     case and only compiles then.
     """
-    (dif,) = flags  # (n+1,) int32 dual-lane: low 16 K-diff, high 16 R-diff
-    # (2-D (rows, _LEAN_SLICE) above 2^31 entries — see _dif_scatter)
+    # flags: 1- or 2-piece dual-lane delta vector (low 16 K-diff, high 16
+    # R-diff); the (lo, hi) split engages above 2^31 entries (_dif_scatter)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     first, second, depth = chunk[:, 0], chunk[:, 1], chunk[:, 2]
-    dummy = _dif_dummy(dif)
+    dummy = _dif_dummy(flags)
 
     condK = valid & (depth >= K)
     condR = valid & (depth >= k_right)
@@ -376,7 +397,7 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
         jnp.where(v > 0, second, dummy),
     ])
     val = jnp.concatenate([v, -v])
-    dif = _dif_scatter(dif, idx, val)
+    flags = _dif_scatter(flags, idx, val)
 
     out, n_out = _leaf_children(fm, first, second, depth, valid, append)
     stats = (
@@ -385,7 +406,7 @@ def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
         jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
         stats[3],
     )
-    return out, n_out, (dif,), stats
+    return out, n_out, flags, stats
 
 
 def _leaf_body_wide(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
@@ -591,14 +612,15 @@ def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append
     counts stay under 2^9 (_LANE3_SAFE_DEPTH, verified from the max-depth
     stat after the phase; navigate_two_bwts reruns with _leaf_pair_body /
     _leaf_pair_body_wide in the pathological case). chunk: (C,5)."""
-    (dif,) = flags  # (n+1,) int32 tri-lane (2-D above 2^31 — _dif_scatter)
+    # flags: 1- or 2-piece tri-lane delta vector ((lo, hi) above 2^31
+    # entries — see _dif_scatter)
     C = chunk.shape[0]
     valid = jnp.arange(C, dtype=jnp.int32) < count
     f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
     start1 = f1 + f2
     start2 = f2 + s1
     end = s1 + s2
-    dummy = _dif_dummy(dif)
+    dummy = _dif_dummy(flags)
 
     condK = valid & (depth >= K)
     condR = valid & (depth >= k_right)
@@ -610,7 +632,7 @@ def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append
         jnp.where(valid, end, dummy),
     ])
     val = jnp.concatenate([v, d, -(v + d)])
-    dif = _dif_scatter(dif, idx, val)
+    flags = _dif_scatter(flags, idx, val)
 
     out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
                                      valid, append)
@@ -620,7 +642,7 @@ def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append
         jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
         stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
     )
-    return out, n_out, (dif,), stats
+    return out, n_out, flags, stats
 
 
 def _leaf_pair_body_wide(fm1, fm2, chunk, count, flags, stats, *, K,
@@ -1043,11 +1065,10 @@ def _fills_from_dif(dif):
     scalar carry across 16M-element slices, and the fills come out as
     n/32 uint32 words per lane, so peak memory is the input (donated)
     plus n/4 bytes — at n = 2.6G the uint8 form alone (2 x 2.6 GB) next
-    to the 10.5 GB dif breached the 16 GB HBM envelope. Accepts the 1-D
-    or the 2-D (rows, _LEAN_SLICE) dif layout (the latter above 2^31
-    entries). Pad bits (>= n) are 0: every boundary pair's running net
-    returns to 0 at its end position <= n."""
-    S = _dif_size(dif) // _LEAN_SLICE
+    to the 10.5 GB dif breached the 16 GB HBM envelope. Pad bits (>= n)
+    are 0: every boundary pair's running net returns to 0 at its end
+    position <= n."""
+    S = dif.shape[0] // _LEAN_SLICE
 
     def step(carry, sl):
         cs = jnp.cumsum(sl) + carry
@@ -1060,10 +1081,30 @@ def _fills_from_dif(dif):
     return fK.reshape(-1), fR.reshape(-1)
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _fills_from_dif_split(lo, hi):
+    """_fills_from_dif over the (lo, hi) split delta vector (above 2^31
+    entries): two scans share the running carry; fills concatenate."""
+    Sl = lo.shape[0] // _LEAN_SLICE
+    Sh = hi.shape[0] // _LEAN_SLICE
+
+    def step(carry, sl):
+        cs = jnp.cumsum(sl) + carry
+        netK, netR = _split_lanes(cs)
+        return cs[-1], (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
+                        _pack_bits_u32((netR > 0).astype(jnp.uint8)))
+
+    c, (fKl, fRl) = jax.lax.scan(step, jnp.int32(0),
+                                 lo.reshape(Sl, _LEAN_SLICE))
+    _, (fKh, fRh) = jax.lax.scan(step, c, hi.reshape(Sh, _LEAN_SLICE))
+    return (jnp.concatenate([fKl.reshape(-1), fKh.reshape(-1)]),
+            jnp.concatenate([fRl.reshape(-1), fRh.reshape(-1)]))
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _fills_from_dif3(dif):
     """Tri-lane variant of _fills_from_dif (pair modes): K/R/DA fills."""
-    S = _dif_size(dif) // _LEAN_SLICE
+    S = dif.shape[0] // _LEAN_SLICE
 
     def step(carry, sl):
         cs = jnp.cumsum(sl) + carry
@@ -1075,6 +1116,27 @@ def _fills_from_dif3(dif):
     _, (fK, fR, fD) = jax.lax.scan(step, jnp.int32(0),
                                    dif.reshape(S, _LEAN_SLICE))
     return fK.reshape(-1), fR.reshape(-1), fD.reshape(-1)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _fills_from_dif3_split(lo, hi):
+    """Tri-lane fills over the (lo, hi) split delta vector."""
+    Sl = lo.shape[0] // _LEAN_SLICE
+    Sh = hi.shape[0] // _LEAN_SLICE
+
+    def step(carry, sl):
+        cs = jnp.cumsum(sl) + carry
+        netK, netR, netD = _split_lanes3(cs)
+        return cs[-1], (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
+                        _pack_bits_u32((netR > 0).astype(jnp.uint8)),
+                        _pack_bits_u32((netD > 0).astype(jnp.uint8)))
+
+    c, (fKl, fRl, fDl) = jax.lax.scan(step, jnp.int32(0),
+                                      lo.reshape(Sl, _LEAN_SLICE))
+    _, (fKh, fRh, fDh) = jax.lax.scan(step, c, hi.reshape(Sh, _LEAN_SLICE))
+    return (jnp.concatenate([fKl.reshape(-1), fKh.reshape(-1)]),
+            jnp.concatenate([fRl.reshape(-1), fRh.reshape(-1)]),
+            jnp.concatenate([fDl.reshape(-1), fDh.reshape(-1)]))
 
 
 def _fill_rows(fw, S: int):
@@ -1143,6 +1205,72 @@ def _combine_flags_da_lean(nf, fKw, fRw, fDw, *, n: int):
             da.reshape(-1)[:n])
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n",))
+def _combine_flags_lean_packed(nf, fKw, fRw, *, n: int):
+    """Huge-n combine: emits BIT-PACKED thr_K/thr_R/minima words
+    ((4*ceil(n/128),) uint32 each — the ops.bits.bv_build layout, so the
+    right-anchor table and the cluster extractor consume them directly)
+    instead of (n,) uint8 vectors. The only formulation inside the 16 GB
+    HBM envelope at ~2.6G positions: the uint8 outputs alone are 3n
+    bytes (7.9 GB), packed they are 3n/8 (1.0 GB). Pad bits (>= n) are 0
+    (nf pad nibbles and fill pad bits are never written)."""
+    Lp = _LEAN_SLICE
+    S = _lean_pad(n) // Lp
+    words = jnp.zeros(S * Lp // 8, jnp.int32).at[: nf.shape[0]].set(nf)
+    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
+
+    def step(_, xs):
+        w, fk, fr = xs
+        pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
+        tK = (((pf & 1) != 0) | (_unpack_bits_u32(fk, Lp) != 0))
+        tR = (((pf & 2) != 0) | (_unpack_bits_u32(fr, Lp) != 0))
+        mi = (pf & 4) != 0
+        return 0, (_pack_bits_u32(tK.astype(jnp.uint8)),
+                   _pack_bits_u32(tR.astype(jnp.uint8)),
+                   _pack_bits_u32(mi.astype(jnp.uint8)))
+
+    _, (tK, tR, mi) = jax.lax.scan(
+        step, 0,
+        (words.reshape(S, Lp // 8), _fill_rows(fKw, S), _fill_rows(fRw, S)),
+    )
+    W = 4 * (-(-n // 128))
+    return tK.reshape(-1)[:W], tR.reshape(-1)[:W], mi.reshape(-1)[:W]
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("n",))
+def _combine_flags_da_lean_packed(nf, fKw, fRw, fDw, *, n: int):
+    """Pair-mode variant of _combine_flags_lean_packed: adds the DA lane."""
+    Lp = _LEAN_SLICE
+    S = _lean_pad(n) // Lp
+    words = jnp.zeros(S * Lp // 8, jnp.int32).at[: nf.shape[0]].set(nf)
+    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
+
+    def step(_, xs):
+        w, fk, fr, fd = xs
+        pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
+        return 0, (
+            _pack_bits_u32((((pf & 1) != 0) |
+                            (_unpack_bits_u32(fk, Lp) != 0))
+                           .astype(jnp.uint8)),
+            _pack_bits_u32((((pf & 2) != 0) |
+                            (_unpack_bits_u32(fr, Lp) != 0))
+                           .astype(jnp.uint8)),
+            _pack_bits_u32(((pf & 4) != 0).astype(jnp.uint8)),
+            _pack_bits_u32((((pf & 8) != 0) |
+                            (_unpack_bits_u32(fd, Lp) != 0))
+                           .astype(jnp.uint8)),
+        )
+
+    _, (tK, tR, mi, da) = jax.lax.scan(
+        step, 0,
+        (words.reshape(S, Lp // 8), _fill_rows(fKw, S), _fill_rows(fRw, S),
+         _fill_rows(fDw, S)),
+    )
+    W = 4 * (-(-n // 128))
+    return (tK.reshape(-1)[:W], tR.reshape(-1)[:W], mi.reshape(-1)[:W],
+            da.reshape(-1)[:W])
+
+
 def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     """Full single-BWT navigation (reference: navigate_one_bwt,
     ebwt2InDel.cpp:555-676): leaf phase then node phase, each a single
@@ -1156,20 +1284,25 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     lean = n >= _LEAN_N
     t0 = _time.perf_counter()
     dif_n = _lean_pad(n + 1) if lean else n + 1
-    # above 2^31 entries the delta vector must be 2-D: s32 scatter indices
-    # cannot address a longer axis (ops/coords.py; reference coordinates
-    # are uint64 end-to-end, include.hpp:25)
+    # above 2^31 entries the delta vector splits into a (lo, hi) pair of
+    # 1-D arrays (s32 scatter indices cannot address a longer axis;
+    # ops/coords.py — reference coordinates are uint64 end-to-end,
+    # include.hpp:25). EBWT_FORCE_HUGE_DIF=1 forces the split (and the
+    # packed-flag combine) at small n for tests.
     huge = dif_n >= 2**31 or (
         lean and os.environ.get("EBWT_FORCE_HUGE_DIF") == "1")
     if huge:
-        dif_factory = lambda: (jnp.zeros(  # noqa: E731
-            (dif_n // _LEAN_SLICE, _LEAN_SLICE), dtype=jnp.int32),)
+        lo_n = min(dif_n, _HALF)
+        hi_n = max(dif_n - _HALF, _LEAN_SLICE)  # >= one slice for tests
+        dif_factory = lambda: (jnp.zeros(lo_n, dtype=jnp.int32),  # noqa: E731
+                               jnp.zeros(hi_n, dtype=jnp.int32))
     else:
         dif_factory = lambda: (jnp.zeros(dif_n, dtype=jnp.int32),)  # noqa: E731
-    (dif,), st_l, maxp_l = _run_phase(
+    difs, st_l, maxp_l = _run_phase(
         (fm,), fm.first_leaf()[None, :], dif_factory, _leaf_body, n, K,
         k_right,
     )
+    dif = difs[0] if len(difs) == 1 else None
     if int(st_l[2]) >= _LANE_SAFE_DEPTH:
         if n >= 2**30 - 8:
             raise RuntimeError(
@@ -1187,6 +1320,9 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
         )
         fill_K = jnp.cumsum(dif[:n]) > 0
         fill_R = jnp.cumsum(dif[n + 1: n + 1 + n]) > 0
+    elif huge:
+        fill_K, fill_R = _fills_from_dif_split(*difs)
+        del difs, dif
     elif lean:
         # scan-chunked, dif-donating, bit-packed fills: at n = 1G the
         # eager form peaks ~16 GB (dif + cumsum + both lanes), past the
@@ -1220,6 +1356,11 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
         "n_min": unpat(st_n[2]),
         "max_pending": max(maxp_l, maxp_n),
     }
+    if huge and int(st_l[2]) < _LANE_SAFE_DEPTH:
+        thr_K, thr_R, minima = _combine_flags_lean_packed(
+            nf, fill_K, fill_R, n=n)
+        return TraversalResult(thr_K=thr_K, thr_R=thr_R, minima=minima,
+                               da=None, stats=stats, packed=True)
     if lean and int(st_l[2]) < _LANE_SAFE_DEPTH:
         thr_K, thr_R, minima = _combine_flags_lean(nf, fill_K, fill_R, n=n)
         return TraversalResult(thr_K=thr_K, thr_R=thr_R, minima=minima,
@@ -1252,13 +1393,16 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     huge = dif_n >= 2**31 or (  # see navigate_one_bwt / _dif_scatter
         lean and os.environ.get("EBWT_FORCE_HUGE_DIF") == "1")
     if huge:
-        dif_factory = lambda: (jnp.zeros(  # noqa: E731
-            (dif_n // _LEAN_SLICE, _LEAN_SLICE), dtype=jnp.int32),)
+        lo_n = min(dif_n, _HALF)
+        hi_n = max(dif_n - _HALF, _LEAN_SLICE)
+        dif_factory = lambda: (jnp.zeros(lo_n, dtype=jnp.int32),  # noqa: E731
+                               jnp.zeros(hi_n, dtype=jnp.int32))
     else:
         dif_factory = lambda: (jnp.zeros(dif_n, dtype=jnp.int32),)  # noqa: E731
-    (dif,), st_l, maxp_l = _run_phase(
+    difs, st_l, maxp_l = _run_phase(
         (fm1, fm2), start, dif_factory, _leaf_pair_body3, n, K, k_right,
     )
+    dif = difs[0] if len(difs) == 1 else None
     if huge and int(st_l[2]) >= _LANE3_SAFE_DEPTH:
         raise RuntimeError(
             "input has suffix-tree leaves deeper than "
@@ -1269,7 +1413,10 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     # one packed cumsum then a carry-aware lane split: exact while the
     # RUNNING per-position net counts respect the lane bounds — the same
     # max-depth bound that guards the scatter packing itself
-    if lean and int(st_l[2]) < _LANE3_SAFE_DEPTH:
+    if huge:
+        fill_K, fill_R, fill_D = _fills_from_dif3_split(*difs)
+        del difs, dif
+    elif lean and int(st_l[2]) < _LANE3_SAFE_DEPTH:
         fill_K, fill_R, fill_D = _fills_from_dif3(dif)
         del dif
     elif int(st_l[2]) < _LANE3_SAFE_DEPTH:
@@ -1322,6 +1469,12 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
         "da_values": unpat(st_l[3]) + unpat(st_n[3]),
         "max_pending": max(maxp_l, maxp_n),
     }
+    if huge and int(st_l[2]) < _LANE3_SAFE_DEPTH:
+        thr_K, thr_R, minima, da = _combine_flags_da_lean_packed(
+            nf, fill_K, fill_R, fill_D, n=n
+        )
+        return TraversalResult(thr_K=thr_K, thr_R=thr_R, minima=minima,
+                               da=da, stats=stats, packed=True)
     if lean and int(st_l[2]) < _LANE3_SAFE_DEPTH:
         thr_K, thr_R, minima, da = _combine_flags_da_lean(
             nf, fill_K, fill_R, fill_D, n=n

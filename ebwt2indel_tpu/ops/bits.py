@@ -60,3 +60,13 @@ def bv_build(bits_u8) -> tuple[jnp.ndarray, jnp.ndarray]:
     per_block = pc[0::4] + pc[1::4] + pc[2::4] + pc[3::4]
     counts = jnp.cumsum(per_block) - per_block
     return words, counts
+
+
+@_jax.jit
+def bv_counts(words) -> jnp.ndarray:
+    """Per-block cumulative rank counts for an existing (nb*4,) uint32
+    word array in the bv_build layout (used when flags arrive already
+    bit-packed — the huge-n TraversalResult.packed path)."""
+    pc = _jax.lax.population_count(words).astype(jnp.int32)
+    per_block = pc[0::4] + pc[1::4] + pc[2::4] + pc[3::4]
+    return jnp.cumsum(per_block) - per_block

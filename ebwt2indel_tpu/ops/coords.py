@@ -14,9 +14,11 @@ Why bit patterns work (verified on the TPU backend):
   which act on the pattern;
 * XLA converts between s32/u32 by reinterpretation (modular), so
   ``astype(jnp.uint32)`` is a free bitcast;
-* scatters with mode="drop" drop negative (= would-be huge unsigned)
-  indices, so arrays larger than 2^31 elements must be addressed as 2-D
-  (row, offset) pairs — see traverse._dif_scatter.
+* scatters/gathers with mode="drop" drop indices past the END but WRAP
+  negative ones Python-style — a negative (= would-be huge unsigned)
+  index must be zero-masked, logically shifted to a positive block/word
+  coordinate, or sign-flipped into a second array half first (see
+  traverse._dif_scatter's (lo, hi) split for > 2^31-entry vectors).
 
 What does NOT work on raw patterns — and what these helpers are for:
 ordered comparisons, sorts, min/max scans. Compare/sort/scan the uint32

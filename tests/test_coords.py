@@ -114,31 +114,37 @@ def test_select_block_unsigned_counters():
     np.testing.assert_array_equal(got, want)
 
 
-def test_dif_scatter_2d_layout_matches_1d():
-    """_dif_scatter's (rows, 2^24) layout == the flat scatter, and the
-    dummy pattern is dropped in both."""
+def test_dif_scatter_split_addressing():
+    """The (lo, hi) split delta scatter: position patterns below 2^31
+    land in lo (signed index), patterns at/above 2^31 land in hi via the
+    sign-bit flip, and out-of-range patterns (incl. the dummy) drop in
+    both pieces. Tested with small pieces: the lo piece covers [0, 64),
+    the hi piece [2^31, 2^31+64) — exactly the production mapping with
+    lo_size shrunk (production lo_size = 2^31, gap-free)."""
     from ebwt2indel_tpu.models import traverse
 
-    L = traverse._LEAN_SLICE
-    size = 2 * L
-    idx_u = np.array([0, 1, L - 1, L, L + 7, size - 1, size,  # last = dummy
-                      coords.unpat(np.int32(coords.pat32(size)))],
-                     dtype=np.uint64)
+    sz = 64
+    idx_u = np.array([0, 5, sz - 1, sz,              # lo hits + one OOB
+                      2**31, 2**31 + 5, 2**31 + sz,  # hi hits + one OOB
+                      2**31 - 1, 3_000_000_000,      # gap / far: dropped
+                      2 * sz + coords.unpat(np.int32(0))], dtype=np.uint64)
     idx = jnp.asarray(idx_u.astype(np.uint32).view(np.int32))
     val = jnp.asarray(np.arange(1, len(idx_u) + 1, dtype=np.int32))
 
-    flat = np.zeros(size, np.int64)
-    for i, v in zip(idx_u, np.asarray(val)):
-        if i < size:
-            flat[i] += v
+    lo, hi = traverse._dif_scatter(
+        (jnp.zeros(sz, jnp.int32), jnp.zeros(sz, jnp.int32)), idx, val)
 
-    d1 = traverse._dif_scatter(jnp.zeros(size, jnp.int32), idx, val)
-    np.testing.assert_array_equal(np.asarray(d1), flat.astype(np.int32))
-    d2 = traverse._dif_scatter(jnp.zeros((2, L), jnp.int32), idx, val)
-    np.testing.assert_array_equal(np.asarray(d2).ravel(),
-                                  flat.astype(np.int32))
-    assert traverse._dif_size(d2) == size
-    assert int(traverse._dif_dummy(d2)) == coords.pat32(size)
+    want_lo = np.zeros(sz, np.int32)
+    want_hi = np.zeros(sz, np.int32)
+    for u, v in zip(idx_u, np.asarray(val)):
+        if u < sz:
+            want_lo[u] += v
+        elif 2**31 <= u < 2**31 + sz:
+            want_hi[u - 2**31] += v
+    np.testing.assert_array_equal(np.asarray(lo), want_lo)
+    np.testing.assert_array_equal(np.asarray(hi), want_hi)
+    assert traverse._dif_size((lo, hi)) == 2 * sz
+    assert int(traverse._dif_dummy((lo, hi))) == coords.pat32(2 * sz)
 
 
 @pytest.mark.parametrize("body", ["single", "pair"])
@@ -171,10 +177,14 @@ def test_traversal_parity_1d_vs_2d_dif(body, tmp_path, monkeypatch):
     monkeypatch.setattr(traverse, "_LEAN_N", 0)
     alt = run()
 
+    # the huge path emits bit-packed flag words (TraversalResult.packed)
+    assert alt.packed and not base.packed
+    n = fm1.n if body == "single" else fm1.n + fm2.n
     for attr in ("thr_K", "thr_R", "minima", "da"):
         b, a = getattr(base, attr), getattr(alt, attr)
         if b is None:
             assert a is None
             continue
-        np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
-                                      err_msg=attr)
+        bits = np.unpackbits(
+            np.asarray(a).view(np.uint8), bitorder="little")[:n]
+        np.testing.assert_array_equal(np.asarray(b), bits, err_msg=attr)

@@ -311,3 +311,52 @@ def test_memory_lean_paths_byte_parity(tmp_path, rng, monkeypatch):
                               log=lambda *a, **k: None)
     assert open(got2, "rb").read() == open(ref2, "rb").read()
     assert os.path.getsize(ref2) > 0
+
+
+@needs_ref
+def test_huge_packed_paths_byte_parity(tmp_path, rng, monkeypatch):
+    """The > 2^31-position code paths — (lo, hi) split delta vectors,
+    bit-packed flag combine, packed right-anchor table, packed cluster
+    extraction (TraversalResult.packed) — forced at small n via
+    EBWT_FORCE_HUGE_DIF: mode-1, mode-2, and mode-3 outputs must stay
+    byte-identical to the reference."""
+    from ebwt2indel_tpu.models import traverse
+
+    monkeypatch.setattr(traverse, "_LEAN_N", 1000)
+    monkeypatch.setenv("EBWT_FORCE_HUGE_DIF", "1")
+
+    path, _ = make_dataset(str(tmp_path), rng)
+    ref_out = str(tmp_path / "ref.snp")
+    got_out = str(tmp_path / "got.snp")
+    run_reference(["-1", path, "-o", ref_out])
+    pipeline.run_one_dataset(Config(input1=path, output=got_out),
+                             log=lambda *a, **k: None)
+    assert open(got_out, "rb").read() == open(ref_out, "rb").read()
+    assert os.path.getsize(ref_out) > 0
+
+    reads1, reads2 = _make_pair_inputs(tmp_path, rng)
+    p1 = str(tmp_path / "a.ebwt")
+    p2 = str(tmp_path / "b.ebwt")
+    open(p1, "w").write(ebwt.ebwt_of_reads(reads1))
+    open(p2, "w").write(ebwt.ebwt_of_reads(reads2))
+    ref2 = str(tmp_path / "ref2.snp")
+    got2 = str(tmp_path / "got2.snp")
+    run_reference(["-1", p1, "-2", p2, "-o", ref2])
+    pipeline.run_two_datasets(Config(input1=p1, input2=p2, output=got2),
+                              log=lambda *a, **k: None)
+    assert open(got2, "rb").read() == open(ref2, "rb").read()
+    assert os.path.getsize(ref2) > 0
+
+    # mode 3 on the merged pair + DA
+    pm = str(tmp_path / "m.ebwt")
+    pd = str(tmp_path / "m.da")
+    bwt, da = ebwt.ebwt_and_da_of_two(reads1, reads2)
+    open(pm, "w").write(bwt)
+    open(pd, "w").write(da)
+    ref3 = str(tmp_path / "ref3.snp")
+    got3 = str(tmp_path / "got3.snp")
+    run_reference(["-1", pm, "-d", pd, "-o", ref3])
+    pipeline.run_two_datasets_da(
+        Config(input1=pm, input_da=pd, output=got3),
+        log=lambda *a, **k: None)
+    assert open(got3, "rb").read() == open(ref3, "rb").read()
