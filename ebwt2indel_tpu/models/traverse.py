@@ -109,7 +109,11 @@ def _narrow_budget(chunk_rows: int) -> int:
 # aliasing (10.5 GB copied per dispatch at 2.6G positions).
 # ---------------------------------------------------------------------------
 
-_HALF = 1 << 31
+# the lo piece covers [0, _SPLIT), the hi piece [_SPLIT, dif_n). The
+# split sits one slice below 2^31 because jnp indexing materializes the
+# array SIZE as an int32 constant — a piece of exactly 2^31 elements is
+# unindexable.
+_SPLIT = (1 << 31) - (1 << 24)
 
 
 def _dif_size(flags) -> int:
@@ -133,10 +137,12 @@ def _dif_scatter(flags, idx, val):
     if len(flags) == 1:
         return (flags[0].at[idx].add(val, mode="drop"),)
     lo, hi = flags
-    ok_lo = idx >= 0
+    ok_lo = idx >= 0  # patterns < 2^31; >= _SPLIT then drop out of range
     lo = lo.at[jnp.where(ok_lo, idx, 0)].add(
         jnp.where(ok_lo, val, 0), mode="drop")
-    idxh = idx ^ jnp.int32(-_HALF)
+    # hi index = unsigned idx - _SPLIT (wrapping subtract): negative for
+    # patterns below the split, in [0, 2^31) for every pattern above it
+    idxh = idx - jnp.int32(_SPLIT)
     ok_hi = idxh >= 0
     hi = hi.at[jnp.where(ok_hi, idxh, 0)].add(
         jnp.where(ok_hi, val, 0), mode="drop")
@@ -1292,8 +1298,8 @@ def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
     huge = dif_n >= 2**31 or (
         lean and os.environ.get("EBWT_FORCE_HUGE_DIF") == "1")
     if huge:
-        lo_n = min(dif_n, _HALF)
-        hi_n = max(dif_n - _HALF, _LEAN_SLICE)  # >= one slice for tests
+        lo_n = min(dif_n, _SPLIT)
+        hi_n = max(dif_n - _SPLIT, _LEAN_SLICE)  # >= one slice for tests
         dif_factory = lambda: (jnp.zeros(lo_n, dtype=jnp.int32),  # noqa: E731
                                jnp.zeros(hi_n, dtype=jnp.int32))
     else:
@@ -1393,8 +1399,8 @@ def navigate_two_bwts(fm1: FMIndex, fm2: FMIndex, K: int,
     huge = dif_n >= 2**31 or (  # see navigate_one_bwt / _dif_scatter
         lean and os.environ.get("EBWT_FORCE_HUGE_DIF") == "1")
     if huge:
-        lo_n = min(dif_n, _HALF)
-        hi_n = max(dif_n - _HALF, _LEAN_SLICE)
+        lo_n = min(dif_n, _SPLIT)
+        hi_n = max(dif_n - _SPLIT, _LEAN_SLICE)
         dif_factory = lambda: (jnp.zeros(lo_n, dtype=jnp.int32),  # noqa: E731
                                jnp.zeros(hi_n, dtype=jnp.int32))
     else:

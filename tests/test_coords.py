@@ -115,19 +115,22 @@ def test_select_block_unsigned_counters():
 
 
 def test_dif_scatter_split_addressing():
-    """The (lo, hi) split delta scatter: position patterns below 2^31
-    land in lo (signed index), patterns at/above 2^31 land in hi via the
-    sign-bit flip, and out-of-range patterns (incl. the dummy) drop in
-    both pieces. Tested with small pieces: the lo piece covers [0, 64),
-    the hi piece [2^31, 2^31+64) — exactly the production mapping with
-    lo_size shrunk (production lo_size = 2^31, gap-free)."""
+    """The (lo, hi) split delta scatter: position patterns below _SPLIT
+    land in lo (signed index), patterns at/above it land in hi via a
+    wrapping subtract, and out-of-range patterns (incl. the dummy) drop
+    in both pieces — negative indices must never reach a scatter (JAX
+    wraps them Python-style instead of dropping). Tested with small
+    pieces: lo covers [0, 64), hi covers [_SPLIT, _SPLIT+64) — the
+    production mapping with lo_size shrunk (production lo = _SPLIT
+    entries, gap-free)."""
     from ebwt2indel_tpu.models import traverse
 
     sz = 64
-    idx_u = np.array([0, 5, sz - 1, sz,              # lo hits + one OOB
-                      2**31, 2**31 + 5, 2**31 + sz,  # hi hits + one OOB
-                      2**31 - 1, 3_000_000_000,      # gap / far: dropped
-                      2 * sz + coords.unpat(np.int32(0))], dtype=np.uint64)
+    SP = traverse._SPLIT
+    idx_u = np.array([0, 5, sz - 1, sz,        # lo hits + one OOB
+                      SP, SP + 5, SP + sz,     # hi hits + one OOB
+                      SP - 1, 2**31, 3_000_000_000, 2**32 - 1,  # gap/far
+                      2 * sz], dtype=np.uint64)
     idx = jnp.asarray(idx_u.astype(np.uint32).view(np.int32))
     val = jnp.asarray(np.arange(1, len(idx_u) + 1, dtype=np.int32))
 
@@ -139,8 +142,8 @@ def test_dif_scatter_split_addressing():
     for u, v in zip(idx_u, np.asarray(val)):
         if u < sz:
             want_lo[u] += v
-        elif 2**31 <= u < 2**31 + sz:
-            want_hi[u - 2**31] += v
+        elif SP <= u < SP + sz:
+            want_hi[u - SP] += v
     np.testing.assert_array_equal(np.asarray(lo), want_lo)
     np.testing.assert_array_equal(np.asarray(hi), want_hi)
     assert traverse._dif_size((lo, hi)) == 2 * sz
