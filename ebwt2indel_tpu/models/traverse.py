@@ -1073,36 +1073,48 @@ def _fills_from_dif(dif):
     plus n/4 bytes — at n = 2.6G the uint8 form alone (2 x 2.6 GB) next
     to the 10.5 GB dif breached the 16 GB HBM envelope. Pad bits (>= n)
     are 0: every boundary pair's running net returns to 0 at its end
-    position <= n."""
+    position <= n. Slices come via dynamic_slice on the flat dif — a
+    reshape(S, L) scan-xs materializes a full tiled copy on TPU."""
     S = dif.shape[0] // _LEAN_SLICE
 
-    def step(carry, sl):
+    def step(carry, i):
+        sl = jax.lax.dynamic_slice(dif, (i * _LEAN_SLICE,), (_LEAN_SLICE,))
         cs = jnp.cumsum(sl) + carry
         netK, netR = _split_lanes(cs)
         return cs[-1], (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
                         _pack_bits_u32((netR > 0).astype(jnp.uint8)))
 
     _, (fK, fR) = jax.lax.scan(step, jnp.int32(0),
-                               dif.reshape(S, _LEAN_SLICE))
+                               jnp.arange(S, dtype=jnp.int32))
     return fK.reshape(-1), fR.reshape(-1)
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
 def _fills_from_dif_split(lo, hi):
     """_fills_from_dif over the (lo, hi) split delta vector (above 2^31
-    entries): two scans share the running carry; fills concatenate."""
+    entries): two scans share the running carry; fills concatenate.
+
+    The slices come out of the FLAT pieces via dynamic_slice — a
+    reshape(S, L) scan-xs formulation materializes a full copy of the
+    piece on TPU (tiled 2-D layout), which at 8.5 GB for the lo piece
+    pushed the program past HBM at compile time."""
+
+    def step_over(dif):
+        def step(carry, i):
+            sl = jax.lax.dynamic_slice(dif, (i * _LEAN_SLICE,),
+                                       (_LEAN_SLICE,))
+            cs = jnp.cumsum(sl) + carry[0]
+            netK, netR = _split_lanes(cs)
+            return (cs[-1],), (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
+                               _pack_bits_u32((netR > 0).astype(jnp.uint8)))
+        return step
+
     Sl = lo.shape[0] // _LEAN_SLICE
     Sh = hi.shape[0] // _LEAN_SLICE
-
-    def step(carry, sl):
-        cs = jnp.cumsum(sl) + carry
-        netK, netR = _split_lanes(cs)
-        return cs[-1], (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
-                        _pack_bits_u32((netR > 0).astype(jnp.uint8)))
-
-    c, (fKl, fRl) = jax.lax.scan(step, jnp.int32(0),
-                                 lo.reshape(Sl, _LEAN_SLICE))
-    _, (fKh, fRh) = jax.lax.scan(step, c, hi.reshape(Sh, _LEAN_SLICE))
+    (c,), (fKl, fRl) = jax.lax.scan(
+        step_over(lo), (jnp.int32(0),), jnp.arange(Sl, dtype=jnp.int32))
+    _, (fKh, fRh) = jax.lax.scan(
+        step_over(hi), (c,), jnp.arange(Sh, dtype=jnp.int32))
     return (jnp.concatenate([fKl.reshape(-1), fKh.reshape(-1)]),
             jnp.concatenate([fRl.reshape(-1), fRh.reshape(-1)]))
 
@@ -1112,7 +1124,8 @@ def _fills_from_dif3(dif):
     """Tri-lane variant of _fills_from_dif (pair modes): K/R/DA fills."""
     S = dif.shape[0] // _LEAN_SLICE
 
-    def step(carry, sl):
+    def step(carry, i):
+        sl = jax.lax.dynamic_slice(dif, (i * _LEAN_SLICE,), (_LEAN_SLICE,))
         cs = jnp.cumsum(sl) + carry
         netK, netR, netD = _split_lanes3(cs)
         return cs[-1], (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
@@ -1120,26 +1133,33 @@ def _fills_from_dif3(dif):
                         _pack_bits_u32((netD > 0).astype(jnp.uint8)))
 
     _, (fK, fR, fD) = jax.lax.scan(step, jnp.int32(0),
-                                   dif.reshape(S, _LEAN_SLICE))
+                                   jnp.arange(S, dtype=jnp.int32))
     return fK.reshape(-1), fR.reshape(-1), fD.reshape(-1)
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
 def _fills_from_dif3_split(lo, hi):
-    """Tri-lane fills over the (lo, hi) split delta vector."""
+    """Tri-lane fills over the (lo, hi) split delta vector (dynamic_slice
+    over the flat pieces — see _fills_from_dif_split)."""
+
+    def step_over(dif):
+        def step(carry, i):
+            sl = jax.lax.dynamic_slice(dif, (i * _LEAN_SLICE,),
+                                       (_LEAN_SLICE,))
+            cs = jnp.cumsum(sl) + carry[0]
+            netK, netR, netD = _split_lanes3(cs)
+            return (cs[-1],), (
+                _pack_bits_u32((netK > 0).astype(jnp.uint8)),
+                _pack_bits_u32((netR > 0).astype(jnp.uint8)),
+                _pack_bits_u32((netD > 0).astype(jnp.uint8)))
+        return step
+
     Sl = lo.shape[0] // _LEAN_SLICE
     Sh = hi.shape[0] // _LEAN_SLICE
-
-    def step(carry, sl):
-        cs = jnp.cumsum(sl) + carry
-        netK, netR, netD = _split_lanes3(cs)
-        return cs[-1], (_pack_bits_u32((netK > 0).astype(jnp.uint8)),
-                        _pack_bits_u32((netR > 0).astype(jnp.uint8)),
-                        _pack_bits_u32((netD > 0).astype(jnp.uint8)))
-
-    c, (fKl, fRl, fDl) = jax.lax.scan(step, jnp.int32(0),
-                                      lo.reshape(Sl, _LEAN_SLICE))
-    _, (fKh, fRh, fDh) = jax.lax.scan(step, c, hi.reshape(Sh, _LEAN_SLICE))
+    (c,), (fKl, fRl, fDl) = jax.lax.scan(
+        step_over(lo), (jnp.int32(0),), jnp.arange(Sl, dtype=jnp.int32))
+    _, (fKh, fRh, fDh) = jax.lax.scan(
+        step_over(hi), (c,), jnp.arange(Sh, dtype=jnp.int32))
     return (jnp.concatenate([fKl.reshape(-1), fKh.reshape(-1)]),
             jnp.concatenate([fRl.reshape(-1), fRh.reshape(-1)]),
             jnp.concatenate([fDl.reshape(-1), fDh.reshape(-1)]))
