@@ -1231,7 +1231,58 @@ def _combine_flags_da_lean(nf, fKw, fRw, fDw, *, n: int):
             da.reshape(-1)[:n])
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n",))
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
+def _pad_nibble_words(nf, *, n: int):
+    """Zero-pad the packed nibble words to whole lean slices."""
+    S = _lean_pad(n) // _LEAN_SLICE
+    return jnp.zeros(S * _LEAN_SLICE // 8, jnp.int32).at[: nf.shape[0]].set(
+        nf)
+
+
+@partial(jax.jit, donate_argnums=(1,), static_argnames=("bit", "n"))
+def _combine_lane_packed(words, fw, *, bit: int, n: int):
+    """One flag lane of the huge-n combine: BIT-PACKED output words
+    ((4*ceil(n/128),) uint32, the ops.bits.bv_build layout) from the
+    padded nibble words OR'd with a bit-packed fill vector. One scan per
+    lane: the fused 3-lane formulation reproducibly faulted the TPU
+    device at ~2.6G positions (the one-lane shape is pinned good by the
+    same-scale probes), and per-lane scans also shrink the live set."""
+    Lp = _LEAN_SLICE
+    S = _lean_pad(n) // Lp
+    WFS = S * Lp // 32
+    f = jnp.zeros(WFS, jnp.uint32).at[: min(fw.shape[0], WFS)].set(
+        fw[:WFS] if fw.shape[0] > WFS else fw)
+    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
+
+    def step(_, i):
+        w = jax.lax.dynamic_slice(words, (i * (Lp // 8),), (Lp // 8,))
+        fx = jax.lax.dynamic_slice(f, (i * (Lp // 32),), (Lp // 32,))
+        pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
+        b = ((pf & bit) != 0) | (_unpack_bits_u32(fx, Lp) != 0)
+        return 0, _pack_bits_u32(b.astype(jnp.uint8))
+
+    _, out = jax.lax.scan(step, 0, jnp.arange(S, dtype=jnp.int32))
+    W = 4 * (-(-n // 128))
+    return out.reshape(-1)[:W]
+
+
+@partial(jax.jit, static_argnames=("bit", "n"))
+def _extract_lane_packed(words, *, bit: int, n: int):
+    """_combine_lane_packed without a fill vector (the minima lane)."""
+    Lp = _LEAN_SLICE
+    S = _lean_pad(n) // Lp
+    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
+
+    def step(_, i):
+        w = jax.lax.dynamic_slice(words, (i * (Lp // 8),), (Lp // 8,))
+        pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
+        return 0, _pack_bits_u32(((pf & bit) != 0).astype(jnp.uint8))
+
+    _, out = jax.lax.scan(step, 0, jnp.arange(S, dtype=jnp.int32))
+    W = 4 * (-(-n // 128))
+    return out.reshape(-1)[:W]
+
+
 def _combine_flags_lean_packed(nf, fKw, fRw, *, n: int):
     """Huge-n combine: emits BIT-PACKED thr_K/thr_R/minima words
     ((4*ceil(n/128),) uint32 each — the ops.bits.bv_build layout, so the
@@ -1239,62 +1290,23 @@ def _combine_flags_lean_packed(nf, fKw, fRw, *, n: int):
     instead of (n,) uint8 vectors. The only formulation inside the 16 GB
     HBM envelope at ~2.6G positions: the uint8 outputs alone are 3n
     bytes (7.9 GB), packed they are 3n/8 (1.0 GB). Pad bits (>= n) are 0
-    (nf pad nibbles and fill pad bits are never written)."""
-    Lp = _LEAN_SLICE
-    S = _lean_pad(n) // Lp
-    words = jnp.zeros(S * Lp // 8, jnp.int32).at[: nf.shape[0]].set(nf)
-    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
-
-    def step(_, xs):
-        w, fk, fr = xs
-        pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
-        tK = (((pf & 1) != 0) | (_unpack_bits_u32(fk, Lp) != 0))
-        tR = (((pf & 2) != 0) | (_unpack_bits_u32(fr, Lp) != 0))
-        mi = (pf & 4) != 0
-        return 0, (_pack_bits_u32(tK.astype(jnp.uint8)),
-                   _pack_bits_u32(tR.astype(jnp.uint8)),
-                   _pack_bits_u32(mi.astype(jnp.uint8)))
-
-    _, (tK, tR, mi) = jax.lax.scan(
-        step, 0,
-        (words.reshape(S, Lp // 8), _fill_rows(fKw, S), _fill_rows(fRw, S)),
-    )
-    W = 4 * (-(-n // 128))
-    return tK.reshape(-1)[:W], tR.reshape(-1)[:W], mi.reshape(-1)[:W]
+    (nf pad nibbles and fill pad bits are never written). Runs as one
+    scan per lane — see _combine_lane_packed."""
+    words = _pad_nibble_words(nf, n=n)
+    thr_K = _combine_lane_packed(words, fKw, bit=1, n=n)
+    thr_R = _combine_lane_packed(words, fRw, bit=2, n=n)
+    minima = _extract_lane_packed(words, bit=4, n=n)
+    return thr_K, thr_R, minima
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("n",))
 def _combine_flags_da_lean_packed(nf, fKw, fRw, fDw, *, n: int):
     """Pair-mode variant of _combine_flags_lean_packed: adds the DA lane."""
-    Lp = _LEAN_SLICE
-    S = _lean_pad(n) // Lp
-    words = jnp.zeros(S * Lp // 8, jnp.int32).at[: nf.shape[0]].set(nf)
-    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
-
-    def step(_, xs):
-        w, fk, fr, fd = xs
-        pf = (jax.lax.shift_right_logical(w[:, None], sh) & 15).reshape(-1)
-        return 0, (
-            _pack_bits_u32((((pf & 1) != 0) |
-                            (_unpack_bits_u32(fk, Lp) != 0))
-                           .astype(jnp.uint8)),
-            _pack_bits_u32((((pf & 2) != 0) |
-                            (_unpack_bits_u32(fr, Lp) != 0))
-                           .astype(jnp.uint8)),
-            _pack_bits_u32(((pf & 4) != 0).astype(jnp.uint8)),
-            _pack_bits_u32((((pf & 8) != 0) |
-                            (_unpack_bits_u32(fd, Lp) != 0))
-                           .astype(jnp.uint8)),
-        )
-
-    _, (tK, tR, mi, da) = jax.lax.scan(
-        step, 0,
-        (words.reshape(S, Lp // 8), _fill_rows(fKw, S), _fill_rows(fRw, S),
-         _fill_rows(fDw, S)),
-    )
-    W = 4 * (-(-n // 128))
-    return (tK.reshape(-1)[:W], tR.reshape(-1)[:W], mi.reshape(-1)[:W],
-            da.reshape(-1)[:W])
+    words = _pad_nibble_words(nf, n=n)
+    thr_K = _combine_lane_packed(words, fKw, bit=1, n=n)
+    thr_R = _combine_lane_packed(words, fRw, bit=2, n=n)
+    minima = _extract_lane_packed(words, bit=4, n=n)
+    da = _combine_lane_packed(words, fDw, bit=8, n=n)
+    return thr_K, thr_R, minima, da
 
 
 def navigate_one_bwt(fm: FMIndex, K: int, k_right: int) -> TraversalResult:
