@@ -269,8 +269,475 @@ def _unpack_flags(nf, n: int):
     return (jax.lax.shift_right_logical(nf[:, None], sh) & 15).reshape(-1)[:n]
 
 
-# positions above this can't ride the (pos << 4 | val) packed sort key;
-# module-level so tests can force the other paths at small scale
+
+
+
+# ---------------------------------------------------------------------------
+# chunk bodies — pure functions (chunk, count, flags, stats) -> updated
+# ---------------------------------------------------------------------------
+
+
+def _leaf_children(fm, first, second, depth, valid, append):
+    """Shared leaf-extension tail: W# left-extensions with size >= 2
+    (next_leaves, dna_bwt.hpp:358-379)."""
+    C = first.shape[0]
+    if _DEDUP_FRAC > 0:
+        lo4, hi4 = fm_ops.lf_range_dedup(
+            fm, first, second, budget=_dedup_budget(2 * C)
+        )
+    elif _NARROW:
+        lo4, hi4 = fm_ops.lf_range_narrow(
+            fm, first, second, budget=_narrow_budget(C), valid=valid
+        )
+    else:
+        lo4, hi4 = fm_ops.lf_range(fm, first, second)
+    child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
+    children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
+    keep = valid[:, None] & ((hi4 - lo4) >= 2)
+    return append(children.reshape(C * 4, 3), keep, True)
+
+
+def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append, log_mode=True):
+    """Suffix-tree leaf step (phase 2), dual-lane packed deltas.
+    chunk: (C,3) [first, second, depth].
+
+    Interior LCP-threshold fills as boundary deltas (reference:
+    update_LCP_leaf, ebwt2InDel.cpp:344-355). The K- and R-deltas of a
+    leaf target the SAME two indices (first+1, second), so both ride one
+    int32 word — K in the low 16 bits, R in the high 16 — halving scatter
+    entries (2 per leaf) and the (n+1,) target. Integer addition makes
+    the final word exactly netK + 65536*netR; the carry-aware decode in
+    navigate_one_bwt is exact while every per-position net count stays
+    below 2^15, which stats[2] (max leaf depth, an upper bound on the
+    boundary nesting count) verifies after the phase — the wide int32
+    formulation (_leaf_body_wide) reruns the phase in the pathological
+    case and only compiles then.
+    """
+    # flags is layout-only here (shapes for the dummy pattern): the body
+    # RETURNS its (idx, val) entries and the dispatch applies them to the
+    # delta vector OUTSIDE the while loop — a scatter on a while-loop
+    # carry copies the whole target every iteration (measured 167 ms at
+    # 8 GB; dynamic_update_slice carries alias in place), which was the
+    # "~9 ns per slot" scatter cost model of rounds 1-3 in disguise.
+    C = chunk.shape[0]
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    first, second, depth = chunk[:, 0], chunk[:, 1], chunk[:, 2]
+    dummy = _dif_dummy(flags)
+
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    v = condK * 1 + condR * 65536
+    idx = jnp.concatenate([
+        jnp.where(v > 0, first + 1, dummy),
+        jnp.where(v > 0, second, dummy),
+    ])
+    val = jnp.concatenate([v, -v])
+
+    out, n_out = _leaf_children(fm, first, second, depth, valid, append)
+    stats = (
+        stats[0] + count,  # leaves visited
+        stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),  # lcp
+        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
+        stats[3],
+    )
+    if not log_mode:
+        return out, n_out, _dif_scatter(flags, idx, val), stats
+    return out, n_out, (idx, val), stats
+
+
+def _leaf_body_wide(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append, log_mode=True):
+    """Int32-per-field leaf step — the exact-for-any-depth fallback of
+    _leaf_body (compiled lazily, only when max leaf depth >= 2^15 - 2)."""
+    (dif,) = flags  # layout only: (2*(n+1),) — field 0 K-diff, 1 R-diff
+    C = chunk.shape[0]
+    stride = dif.shape[0] // 2
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    first, second, depth = chunk[:, 0], chunk[:, 1], chunk[:, 2]
+    dummy = jnp.int32(dif.shape[0])
+
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    idx = jnp.concatenate([
+        jnp.where(condK, first + 1, dummy),
+        jnp.where(condK, second, dummy),
+        jnp.where(condR, first + 1 + stride, dummy),
+        jnp.where(condR, second + stride, dummy),
+    ])
+    val = jnp.concatenate([
+        jnp.ones(C, jnp.int32), jnp.full(C, -1, jnp.int32),
+        jnp.ones(C, jnp.int32), jnp.full(C, -1, jnp.int32),
+    ])
+
+    out, n_out = _leaf_children(fm, first, second, depth, valid, append)
+    stats = (
+        stats[0] + count,
+        stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),
+        stats[2],
+        stats[3],
+    )
+    if not log_mode:
+        return out, n_out, _dif_scatter(flags, idx, val), stats
+    return out, n_out, (idx, val), stats
+
+
+# packed dual-lane leaf deltas stay exact while every per-position net
+# boundary count < 2^15; max leaf depth bounds that count (a leaf chain
+# sharing a boundary has distinct depths), with margin for safety
+_LANE_SAFE_DEPTH = 32000
+
+
+def _split_lanes(dif):
+    """Carry-aware dual-lane decode: word == netK + 65536*netR exactly
+    (integer addition is order-free), so sign-extending the low half and
+    subtracting recovers both lanes while |netK| < 2^15."""
+    netK = (dif << 16) >> 16  # arithmetic: sign-extend low 16 bits
+    netR = (dif - netK) >> 16  # exact multiple of 2^16
+    return netK, netR
+
+
+# tri-lane packed pair deltas (K bits 0-10, R bits 11-21, DA bits 22-31)
+# stay exact while every per-position net boundary count < 2^9 (the top
+# lane's signed range); max leaf depth bounds that count, with margin
+_LANE3_SAFE_DEPTH = 480
+
+
+def _split_lanes3(dif):
+    """Carry-aware tri-lane decode: word == netK + 2^11*netR + 2^22*netDA
+    exactly, recovered lane by lane by sign-extension + subtraction while
+    |netK|, |netR| < 2^10 and |netDA| < 2^9."""
+    netK = (dif << 21) >> 21  # sign-extend low 11 bits
+    rem = (dif - netK) >> 11  # exact multiple of 2^11
+    netR = (rem << 21) >> 21
+    netD = (rem - netR) >> 11
+    return netK, netR, netD
+
+
+def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append, log_mode=True):
+    """Internal-node step (phase 3): border LCP writes, minima marks, and
+    Weiner-link extension (update_lcp_threshold include.hpp:826-860;
+    update_lcp_minima ebwt2InDel.cpp:357-391; next_nodes dna_bwt.hpp:381-404).
+    chunk: (C,7).
+    """
+    (nf,) = flags  # packed flag words (see _flag_scatter)
+    # (int32 words, not uint8 flags: sub-word scatters lower to a
+    # full-array rewrite on TPU — word-sized updates take the fast path)
+    C = chunk.shape[0]
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    depth = chunk[:, 6]
+    last = chunk[:, 5]
+    dummy = jnp.int32(pat32(nf.shape[0] * 8))
+    lcp_values = jnp.int32(0)
+    n_min = jnp.int32(0)
+
+    # one nibble-packed add-scatter for all border writes: every flagged
+    # position is written by exactly one (node, border) across the whole
+    # traversal (the border's LCP value is that unique node's depth), so
+    # add never collides on a bit. Border comparisons are unsigned
+    # (positions are uint32 bit patterns, ops/coords.py).
+    idxs = []
+    vals = []
+    for j in range(1, 5):
+        border = chunk[:, j]
+        has_prev = ugt(border, chunk[:, j - 1])
+        cond = valid & has_prev & (border != last)
+        lcp_values = lcp_values + jnp.sum(cond.astype(jnp.int32))
+        v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
+        if j >= 2:
+            prev_size = border - chunk[:, j - 1]
+            cond_m = valid & (prev_size >= 2) & ult(border, last - 1)
+            n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
+            v = v + cond_m * 4
+        idxs.append(jnp.where(v > 0, border, dummy))
+        vals.append(v)
+    # entries are applied to nf OUTSIDE the while loop (see _leaf_body)
+
+    if _DEDUP_FRAC > 0:
+        ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
+    elif _NARROW:
+        ext = fm_ops.extend_node_narrow(fm, chunk, budget=_narrow_budget(C),
+                                        valid=valid)
+    else:
+        ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
+    nch = fm_ops.node_num_children(ext)
+    keep = valid[:, None] & (nch >= 2)
+    # char-major compaction: children extending by the same character live in
+    # the same F-region, so consecutive queue entries gather from nearby
+    # block rows (better HBM locality); ordering is free (writes order-free)
+    out, n_out = append(ext.reshape(C * 4, 7), keep, True)
+
+    stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
+             stats[3])
+    if not log_mode:
+        nf = _flag_scatter_compact(nf, jnp.concatenate(idxs),
+                                   jnp.concatenate(vals), vals_bits=3)
+        return out, n_out, (nf,), stats
+    return out, n_out, (jnp.concatenate(idxs), jnp.concatenate(vals)), stats
+
+
+def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid,
+                        append):
+    """Shared leaf-pair extension tail: children kept iff combined size
+    >= 2 (ebwt2InDel.cpp:452-472) — size-1 leaves recover in the node
+    phase."""
+    C = f1.shape[0]
+    if _DEDUP_FRAC > 0:
+        b = _dedup_budget(2 * C)
+        lo1, hi1 = fm_ops.lf_range_dedup(fm1, f1, s1, budget=b)
+        lo2, hi2 = fm_ops.lf_range_dedup(fm2, f2, s2, budget=b)
+    elif _NARROW:
+        b = _narrow_budget(C)
+        lo1, hi1 = fm_ops.lf_range_narrow(fm1, f1, s1, budget=b, valid=valid)
+        lo2, hi2 = fm_ops.lf_range_narrow(fm2, f2, s2, budget=b, valid=valid)
+    else:
+        lo1, hi1 = fm_ops.lf_range(fm1, f1, s1)
+        lo2, hi2 = fm_ops.lf_range(fm2, f2, s2)
+    child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
+    children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
+    combined = (hi1 - lo1) + (hi2 - lo2)
+    keep = valid[:, None] & (combined >= 2)
+    return append(children.reshape(C * 4, 5), keep, False)
+
+
+def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append, log_mode=True):
+    """Leaf-pair step for the lockstep two-BWT merge, dual-lane packed
+    deltas (see _leaf_body). chunk: (C,5) [f1, s1, f2, s2, depth]. DA +
+    merged LCP fills (update_DA, ebwt2InDel.cpp:394-425). dif layout
+    (2*(n+1),): area 0 = dual-lane K/R word, area 1 = DA-diff int32.
+    """
+    (dif,) = flags
+    C = chunk.shape[0]
+    stride = dif.shape[0] // 2
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
+    start1 = f1 + f2
+    start2 = f2 + s1
+    end = s1 + s2
+    dummy = jnp.int32(dif.shape[0])
+
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    v = condK * 1 + condR * 65536
+    one = jnp.ones(C, jnp.int32)
+    idx = jnp.concatenate([
+        jnp.where(v > 0, start1 + 1, dummy),
+        jnp.where(v > 0, end, dummy),
+        jnp.where(valid, start2 + stride, dummy),
+        jnp.where(valid, end + stride, dummy),
+    ])
+    val = jnp.concatenate([v, -v, one, -one])
+
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
+                                     valid, append)
+    stats = (
+        stats[0] + count,
+        stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
+        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
+        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
+    )
+    if not log_mode:
+        return out, n_out, ((flags[0]).at[idx].add(val, mode="drop"),), \
+            stats
+    return out, n_out, (idx, val), stats
+
+
+def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append, log_mode=True):
+    """Tri-lane packed leaf-pair step — the production formulation.
+
+    The scatter's per-entry cost tracks the TARGET array's size
+    (docs/PERF.md), so the K/R/DA boundary deltas of a leaf pair all ride
+    ONE (n+1,) int32 vector (lanes: K bits 0-10, R 11-21, DA 22-31)
+    instead of the (2*(n+1),) dual-area layout — half the target, and the
+    `end` index carries its K/R and DA deltas in a single entry (3
+    entries per leaf instead of 4). Exact while per-position nesting
+    counts stay under 2^9 (_LANE3_SAFE_DEPTH, verified from the max-depth
+    stat after the phase; navigate_two_bwts reruns with _leaf_pair_body /
+    _leaf_pair_body_wide in the pathological case). chunk: (C,5)."""
+    # flags: 1- or 2-piece tri-lane delta vector ((lo, hi) above 2^31
+    # entries — see _dif_scatter)
+    C = chunk.shape[0]
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
+    start1 = f1 + f2
+    start2 = f2 + s1
+    end = s1 + s2
+    dummy = _dif_dummy(flags)
+
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    v = condK * 1 + condR * (1 << 11)
+    d = valid * (1 << 22)
+    idx = jnp.concatenate([
+        jnp.where(v > 0, start1 + 1, dummy),
+        jnp.where(valid, start2, dummy),
+        jnp.where(valid, end, dummy),
+    ])
+    val = jnp.concatenate([v, d, -(v + d)])
+
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
+                                     valid, append)
+    stats = (
+        stats[0] + count,
+        stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
+        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
+        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
+    )
+    if not log_mode:
+        return out, n_out, _dif_scatter(flags, idx, val), stats
+    return out, n_out, (idx, val), stats
+
+
+def _leaf_pair_body_wide(fm1, fm2, chunk, count, flags, stats, *, K,
+                         k_right, append, log_mode=True):
+    """Int32-per-field leaf-pair step — the any-depth fallback of
+    _leaf_pair_body (compiled lazily). dif: (3*(n+1),) fields K, R, DA."""
+    (dif,) = flags
+    C = chunk.shape[0]
+    stride = dif.shape[0] // 3
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
+    start1 = f1 + f2
+    start2 = f2 + s1
+    end = s1 + s2
+    dummy = jnp.int32(dif.shape[0])
+
+    condK = valid & (depth >= K)
+    condR = valid & (depth >= k_right)
+    one = jnp.ones(C, jnp.int32)
+    idx = jnp.concatenate([
+        jnp.where(condK, start1 + 1, dummy),
+        jnp.where(condK, end, dummy),
+        jnp.where(condR, start1 + 1 + stride, dummy),
+        jnp.where(condR, end + stride, dummy),
+        jnp.where(valid, start2 + 2 * stride, dummy),
+        jnp.where(valid, end + 2 * stride, dummy),
+    ])
+    val = jnp.concatenate([one, -one, one, -one, one, -one])
+
+    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
+                                     valid, append)
+    stats = (
+        stats[0] + count,
+        stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
+        stats[2],
+        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),
+    )
+    if not log_mode:
+        return out, n_out, _dif_scatter(flags, idx, val), stats
+    return out, n_out, (idx, val), stats
+
+
+def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append, log_mode=True):
+    """Node-pair step: size-1 leaf recovery (find_leaves,
+    ebwt2InDel.cpp:474-527), merged-node LCP/minima updates
+    (ebwt2InDel.cpp:792-802), pairwise Weiner extension keeping pairs with
+    >= 2 union children (ebwt2InDel.cpp:529-553). chunk: (C,13).
+    """
+    (nf,) = flags  # packed flag words (see _flag_scatter)
+    C = chunk.shape[0]
+    valid = jnp.arange(C, dtype=jnp.int32) < count
+    c1 = chunk[:, 0:6]
+    c2 = chunk[:, 6:12]
+    depth = chunk[:, 12]
+    merged = c1 + c2
+    last = merged[:, 5]
+    dummy = jnp.int32(pat32(nf.shape[0] * 8))
+
+    idxs = []
+    vals = []
+    # find_leaves: a singleton merged position gets its DA bit from exactly
+    # one visited node pair (a deeper pair over the same singleton interval
+    # cannot have >= 2 union children), so the add never collides
+    da_values = jnp.int32(0)
+    for j in range(5):
+        l1 = c1[:, j + 1] - c1[:, j]
+        l2 = c2[:, j + 1] - c2[:, j]
+        cond = valid & ((l1 + l2) == 1)
+        pos = c1[:, j] + c2[:, j]
+        da_values = da_values + jnp.sum(cond.astype(jnp.int32))
+        cond_da = cond & (l2 == 1)
+        idxs.append(jnp.where(cond_da, pos, dummy))
+        vals.append(cond_da * 8)
+
+    lcp_values = jnp.int32(0)
+    n_min = jnp.int32(0)
+    for j in range(1, 5):
+        border = merged[:, j]
+        has_prev = ugt(border, merged[:, j - 1])  # unsigned: patterns
+        cond = valid & has_prev & (border != last)
+        lcp_values = lcp_values + jnp.sum(cond.astype(jnp.int32))
+        v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
+        if j >= 2:
+            prev_size = border - merged[:, j - 1]
+            cond_m = valid & (prev_size >= 2) & ult(border, last - 1)
+            n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
+            v = v + cond_m * 4
+        idxs.append(jnp.where(v > 0, border, dummy))
+        vals.append(v)
+    # entries are applied to nf OUTSIDE the while loop (see _leaf_body)
+
+    if _DEDUP_FRAC > 0:
+        # pair chunks are especially run-heavy: a string present in only
+        # one BWT makes the other side's node empty (all 6 coords equal)
+        b = _dedup_budget(6 * C)
+        ext1 = fm_ops.extend_node_dedup(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]],
+                                        budget=b)
+        ext2 = fm_ops.extend_node_dedup(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]],
+                                        budget=b)
+    elif _NARROW:
+        b = _narrow_budget(C)
+        ext1 = fm_ops.extend_node_narrow(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]],
+                                         budget=b, valid=valid)
+        ext2 = fm_ops.extend_node_narrow(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]],
+                                         budget=b, valid=valid)
+    else:
+        ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
+        ext2 = fm_ops.extend_node(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]])
+    u1 = ugt(ext1[..., 1:6], ext1[..., 0:5])
+    u2 = ugt(ext2[..., 1:6], ext2[..., 0:5])
+    n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
+    children = jnp.concatenate(
+        [ext1[..., :6], ext2[..., :6], ext1[..., 6:7]], axis=-1
+    )
+    keep = valid[:, None] & (n_union >= 2)
+    out, n_out = append(children.reshape(C * 4, 13), keep, False)
+
+    stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
+             stats[3] + da_values)
+    if not log_mode:
+        nf = _flag_scatter_compact(nf, jnp.concatenate(idxs),
+                                   jnp.concatenate(vals))
+        return out, n_out, (nf,), stats
+    return out, n_out, (jnp.concatenate(idxs), jnp.concatenate(vals)), stats
+
+
+# ---------------------------------------------------------------------------
+# single-chunk jitted steps — the exposed 'forward step' building blocks
+# (used by __graft_entry__ and the sharded layer's tests)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("K", "k_right"), donate_argnums=(3,))
+def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
+    """One internal-node chunk step over the packed flag words (8 positions
+    x 4 bits per int32; 1=thr_K, 2=thr_R, 4=minima). The exposed
+    single-dispatch 'forward step' of the flagship compute path (used by
+    __graft_entry__)."""
+    def append(flat, keep, char_major):
+        if char_major:
+            return _compact_cm(flat, keep, budget=_compact_budget(
+                nodes.shape[0]))
+        return _compact(flat, keep.reshape(-1),
+                        budget=_compact_budget(nodes.shape[0]))
+
+    out, n_out, (nf,), st = _node_body(
+        fm, nodes, count, (node_flags,),
+        (jnp.int32(0),) * 4, K=K, k_right=k_right, append=append
+    )
+    return out, n_out, nf, st[1], st[2]
+
+
+# positions above this can't ride the (pos << vals_bits | val) packed
+# sort key; module-level so tests can force the other paths at small scale
 _FLAG_PACK_LIMIT = (1 << 28) - 8
 _FLAG_PACK3_LIMIT = (1 << 29) - 8
 
@@ -347,454 +814,21 @@ def _flag_scatter_compact(nf, borders, vals, vals_bits: int = 4):
     return nf
 
 
-# ---------------------------------------------------------------------------
-# chunk bodies — pure functions (chunk, count, flags, stats) -> updated
-# ---------------------------------------------------------------------------
+# flag buffers at or above this many BYTES take the entry-log path in
+# the dispatch (in-loop scatters copy the whole while carry per step);
+# smaller buffers keep the direct in-loop scatter
+_LOG_FLAGS_MIN = int(_os.environ.get("EBWT_LOG_FLAGS_MIN", 1 << 27))
 
-
-def _leaf_children(fm, first, second, depth, valid, append):
-    """Shared leaf-extension tail: W# left-extensions with size >= 2
-    (next_leaves, dna_bwt.hpp:358-379)."""
-    C = first.shape[0]
-    if _DEDUP_FRAC > 0:
-        lo4, hi4 = fm_ops.lf_range_dedup(
-            fm, first, second, budget=_dedup_budget(2 * C)
-        )
-    elif _NARROW:
-        lo4, hi4 = fm_ops.lf_range_narrow(
-            fm, first, second, budget=_narrow_budget(C), valid=valid
-        )
-    else:
-        lo4, hi4 = fm_ops.lf_range(fm, first, second)
-    child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
-    children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
-    keep = valid[:, None] & ((hi4 - lo4) >= 2)
-    return append(children.reshape(C * 4, 3), keep, True)
-
-
-def _leaf_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
-    """Suffix-tree leaf step (phase 2), dual-lane packed deltas.
-    chunk: (C,3) [first, second, depth].
-
-    Interior LCP-threshold fills as boundary deltas (reference:
-    update_LCP_leaf, ebwt2InDel.cpp:344-355). The K- and R-deltas of a
-    leaf target the SAME two indices (first+1, second), so both ride one
-    int32 word — K in the low 16 bits, R in the high 16 — halving scatter
-    entries (2 per leaf) and the (n+1,) target. Integer addition makes
-    the final word exactly netK + 65536*netR; the carry-aware decode in
-    navigate_one_bwt is exact while every per-position net count stays
-    below 2^15, which stats[2] (max leaf depth, an upper bound on the
-    boundary nesting count) verifies after the phase — the wide int32
-    formulation (_leaf_body_wide) reruns the phase in the pathological
-    case and only compiles then.
-    """
-    # flags: 1- or 2-piece dual-lane delta vector (low 16 K-diff, high 16
-    # R-diff); the (lo, hi) split engages above 2^31 entries (_dif_scatter)
-    C = chunk.shape[0]
-    valid = jnp.arange(C, dtype=jnp.int32) < count
-    first, second, depth = chunk[:, 0], chunk[:, 1], chunk[:, 2]
-    dummy = _dif_dummy(flags)
-
-    condK = valid & (depth >= K)
-    condR = valid & (depth >= k_right)
-    v = condK * 1 + condR * 65536
-    idx = jnp.concatenate([
-        jnp.where(v > 0, first + 1, dummy),
-        jnp.where(v > 0, second, dummy),
-    ])
-    val = jnp.concatenate([v, -v])
-    flags = _dif_scatter(flags, idx, val)
-
-    out, n_out = _leaf_children(fm, first, second, depth, valid, append)
-    stats = (
-        stats[0] + count,  # leaves visited
-        stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),  # lcp
-        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
-        stats[3],
-    )
-    return out, n_out, flags, stats
-
-
-def _leaf_body_wide(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
-    """Int32-per-field leaf step — the exact-for-any-depth fallback of
-    _leaf_body (compiled lazily, only when max leaf depth >= 2^15 - 2)."""
-    (dif,) = flags  # (2*(n+1),) int32: field 0 = K-diff, field 1 = R-diff
-    C = chunk.shape[0]
-    stride = dif.shape[0] // 2
-    valid = jnp.arange(C, dtype=jnp.int32) < count
-    first, second, depth = chunk[:, 0], chunk[:, 1], chunk[:, 2]
-    dummy = jnp.int32(dif.shape[0])
-
-    condK = valid & (depth >= K)
-    condR = valid & (depth >= k_right)
-    idx = jnp.concatenate([
-        jnp.where(condK, first + 1, dummy),
-        jnp.where(condK, second, dummy),
-        jnp.where(condR, first + 1 + stride, dummy),
-        jnp.where(condR, second + stride, dummy),
-    ])
-    val = jnp.concatenate([
-        jnp.ones(C, jnp.int32), jnp.full(C, -1, jnp.int32),
-        jnp.ones(C, jnp.int32), jnp.full(C, -1, jnp.int32),
-    ])
-    dif = dif.at[idx].add(val, mode="drop")
-
-    out, n_out = _leaf_children(fm, first, second, depth, valid, append)
-    stats = (
-        stats[0] + count,
-        stats[1] + jnp.sum(jnp.where(valid, second - first - 1, 0)),
-        stats[2],
-        stats[3],
-    )
-    return out, n_out, (dif,), stats
-
-
-# packed dual-lane leaf deltas stay exact while every per-position net
-# boundary count < 2^15; max leaf depth bounds that count (a leaf chain
-# sharing a boundary has distinct depths), with margin for safety
-_LANE_SAFE_DEPTH = 32000
-
-
-def _split_lanes(dif):
-    """Carry-aware dual-lane decode: word == netK + 65536*netR exactly
-    (integer addition is order-free), so sign-extending the low half and
-    subtracting recovers both lanes while |netK| < 2^15."""
-    netK = (dif << 16) >> 16  # arithmetic: sign-extend low 16 bits
-    netR = (dif - netK) >> 16  # exact multiple of 2^16
-    return netK, netR
-
-
-# tri-lane packed pair deltas (K bits 0-10, R bits 11-21, DA bits 22-31)
-# stay exact while every per-position net boundary count < 2^9 (the top
-# lane's signed range); max leaf depth bounds that count, with margin
-_LANE3_SAFE_DEPTH = 480
-
-
-def _split_lanes3(dif):
-    """Carry-aware tri-lane decode: word == netK + 2^11*netR + 2^22*netDA
-    exactly, recovered lane by lane by sign-extension + subtraction while
-    |netK|, |netR| < 2^10 and |netDA| < 2^9."""
-    netK = (dif << 21) >> 21  # sign-extend low 11 bits
-    rem = (dif - netK) >> 11  # exact multiple of 2^11
-    netR = (rem << 21) >> 21
-    netD = (rem - netR) >> 11
-    return netK, netR, netD
-
-
-def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append):
-    """Internal-node step (phase 3): border LCP writes, minima marks, and
-    Weiner-link extension (update_lcp_threshold include.hpp:826-860;
-    update_lcp_minima ebwt2InDel.cpp:357-391; next_nodes dna_bwt.hpp:381-404).
-    chunk: (C,7).
-    """
-    (nf,) = flags  # packed flag words (see _flag_scatter)
-    # (int32 words, not uint8 flags: sub-word scatters lower to a
-    # full-array rewrite on TPU — word-sized updates take the fast path)
-    C = chunk.shape[0]
-    valid = jnp.arange(C, dtype=jnp.int32) < count
-    depth = chunk[:, 6]
-    last = chunk[:, 5]
-    dummy = jnp.int32(pat32(nf.shape[0] * 8))
-    lcp_values = jnp.int32(0)
-    n_min = jnp.int32(0)
-
-    # one nibble-packed add-scatter for all border writes: every flagged
-    # position is written by exactly one (node, border) across the whole
-    # traversal (the border's LCP value is that unique node's depth), so
-    # add never collides on a bit. Border comparisons are unsigned
-    # (positions are uint32 bit patterns, ops/coords.py).
-    idxs = []
-    vals = []
-    for j in range(1, 5):
-        border = chunk[:, j]
-        has_prev = ugt(border, chunk[:, j - 1])
-        cond = valid & has_prev & (border != last)
-        lcp_values = lcp_values + jnp.sum(cond.astype(jnp.int32))
-        v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
-        if j >= 2:
-            prev_size = border - chunk[:, j - 1]
-            cond_m = valid & (prev_size >= 2) & ult(border, last - 1)
-            n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
-            v = v + cond_m * 4
-        idxs.append(jnp.where(v > 0, border, dummy))
-        vals.append(v)
-    # mode-1 node values are 1|2|4 combos (<= 7): the 3-bit packed key
-    # keeps the zero-gather compaction up to n < 2^29
-    nf = _flag_scatter_compact(nf, jnp.concatenate(idxs),
-                               jnp.concatenate(vals), vals_bits=3)
-
-    if _DEDUP_FRAC > 0:
-        ext = fm_ops.extend_node_dedup(fm, chunk, budget=_dedup_budget(6 * C))
-    elif _NARROW:
-        ext = fm_ops.extend_node_narrow(fm, chunk, budget=_narrow_budget(C),
-                                        valid=valid)
-    else:
-        ext = fm_ops.extend_node(fm, chunk)  # (C, 4, 7)
-    nch = fm_ops.node_num_children(ext)
-    keep = valid[:, None] & (nch >= 2)
-    # char-major compaction: children extending by the same character live in
-    # the same F-region, so consecutive queue entries gather from nearby
-    # block rows (better HBM locality); ordering is free (writes order-free)
-    out, n_out = append(ext.reshape(C * 4, 7), keep, True)
-
-    stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
-             stats[3])
-    return out, n_out, (nf,), stats
-
-
-def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid,
-                        append):
-    """Shared leaf-pair extension tail: children kept iff combined size
-    >= 2 (ebwt2InDel.cpp:452-472) — size-1 leaves recover in the node
-    phase."""
-    C = f1.shape[0]
-    if _DEDUP_FRAC > 0:
-        b = _dedup_budget(2 * C)
-        lo1, hi1 = fm_ops.lf_range_dedup(fm1, f1, s1, budget=b)
-        lo2, hi2 = fm_ops.lf_range_dedup(fm2, f2, s2, budget=b)
-    elif _NARROW:
-        b = _narrow_budget(C)
-        lo1, hi1 = fm_ops.lf_range_narrow(fm1, f1, s1, budget=b, valid=valid)
-        lo2, hi2 = fm_ops.lf_range_narrow(fm2, f2, s2, budget=b, valid=valid)
-    else:
-        lo1, hi1 = fm_ops.lf_range(fm1, f1, s1)
-        lo2, hi2 = fm_ops.lf_range(fm2, f2, s2)
-    child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
-    children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
-    combined = (hi1 - lo1) + (hi2 - lo2)
-    keep = valid[:, None] & (combined >= 2)
-    return append(children.reshape(C * 4, 5), keep, False)
-
-
-def _leaf_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append):
-    """Leaf-pair step for the lockstep two-BWT merge, dual-lane packed
-    deltas (see _leaf_body). chunk: (C,5) [f1, s1, f2, s2, depth]. DA +
-    merged LCP fills (update_DA, ebwt2InDel.cpp:394-425). dif layout
-    (2*(n+1),): area 0 = dual-lane K/R word, area 1 = DA-diff int32.
-    """
-    (dif,) = flags
-    C = chunk.shape[0]
-    stride = dif.shape[0] // 2
-    valid = jnp.arange(C, dtype=jnp.int32) < count
-    f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
-    start1 = f1 + f2
-    start2 = f2 + s1
-    end = s1 + s2
-    dummy = jnp.int32(dif.shape[0])
-
-    condK = valid & (depth >= K)
-    condR = valid & (depth >= k_right)
-    v = condK * 1 + condR * 65536
-    one = jnp.ones(C, jnp.int32)
-    idx = jnp.concatenate([
-        jnp.where(v > 0, start1 + 1, dummy),
-        jnp.where(v > 0, end, dummy),
-        jnp.where(valid, start2 + stride, dummy),
-        jnp.where(valid, end + stride, dummy),
-    ])
-    val = jnp.concatenate([v, -v, one, -one])
-    dif = dif.at[idx].add(val, mode="drop")
-
-    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
-                                     valid, append)
-    stats = (
-        stats[0] + count,
-        stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
-        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
-        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
-    )
-    return out, n_out, (dif,), stats
-
-
-def _leaf_pair_body3(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append):
-    """Tri-lane packed leaf-pair step — the production formulation.
-
-    The scatter's per-entry cost tracks the TARGET array's size
-    (docs/PERF.md), so the K/R/DA boundary deltas of a leaf pair all ride
-    ONE (n+1,) int32 vector (lanes: K bits 0-10, R 11-21, DA 22-31)
-    instead of the (2*(n+1),) dual-area layout — half the target, and the
-    `end` index carries its K/R and DA deltas in a single entry (3
-    entries per leaf instead of 4). Exact while per-position nesting
-    counts stay under 2^9 (_LANE3_SAFE_DEPTH, verified from the max-depth
-    stat after the phase; navigate_two_bwts reruns with _leaf_pair_body /
-    _leaf_pair_body_wide in the pathological case). chunk: (C,5)."""
-    # flags: 1- or 2-piece tri-lane delta vector ((lo, hi) above 2^31
-    # entries — see _dif_scatter)
-    C = chunk.shape[0]
-    valid = jnp.arange(C, dtype=jnp.int32) < count
-    f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
-    start1 = f1 + f2
-    start2 = f2 + s1
-    end = s1 + s2
-    dummy = _dif_dummy(flags)
-
-    condK = valid & (depth >= K)
-    condR = valid & (depth >= k_right)
-    v = condK * 1 + condR * (1 << 11)
-    d = valid * (1 << 22)
-    idx = jnp.concatenate([
-        jnp.where(v > 0, start1 + 1, dummy),
-        jnp.where(valid, start2, dummy),
-        jnp.where(valid, end, dummy),
-    ])
-    val = jnp.concatenate([v, d, -(v + d)])
-    flags = _dif_scatter(flags, idx, val)
-
-    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
-                                     valid, append)
-    stats = (
-        stats[0] + count,
-        stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
-        jnp.maximum(stats[2], jnp.max(jnp.where(valid, depth, 0))),
-        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),  # da_values
-    )
-    return out, n_out, flags, stats
-
-
-def _leaf_pair_body_wide(fm1, fm2, chunk, count, flags, stats, *, K,
-                         k_right, append):
-    """Int32-per-field leaf-pair step — the any-depth fallback of
-    _leaf_pair_body (compiled lazily). dif: (3*(n+1),) fields K, R, DA."""
-    (dif,) = flags
-    C = chunk.shape[0]
-    stride = dif.shape[0] // 3
-    valid = jnp.arange(C, dtype=jnp.int32) < count
-    f1, s1, f2, s2, depth = (chunk[:, i] for i in range(5))
-    start1 = f1 + f2
-    start2 = f2 + s1
-    end = s1 + s2
-    dummy = jnp.int32(dif.shape[0])
-
-    condK = valid & (depth >= K)
-    condR = valid & (depth >= k_right)
-    one = jnp.ones(C, jnp.int32)
-    idx = jnp.concatenate([
-        jnp.where(condK, start1 + 1, dummy),
-        jnp.where(condK, end, dummy),
-        jnp.where(condR, start1 + 1 + stride, dummy),
-        jnp.where(condR, end + stride, dummy),
-        jnp.where(valid, start2 + 2 * stride, dummy),
-        jnp.where(valid, end + 2 * stride, dummy),
-    ])
-    val = jnp.concatenate([one, -one, one, -one, one, -one])
-    dif = dif.at[idx].add(val, mode="drop")
-
-    out, n_out = _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth,
-                                     valid, append)
-    stats = (
-        stats[0] + count,
-        stats[1] + jnp.sum(jnp.where(valid, end - start1 - 1, 0)),
-        stats[2],
-        stats[3] + jnp.sum(jnp.where(valid, end - start1, 0)),
-    )
-    return out, n_out, (dif,), stats
-
-
-def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append):
-    """Node-pair step: size-1 leaf recovery (find_leaves,
-    ebwt2InDel.cpp:474-527), merged-node LCP/minima updates
-    (ebwt2InDel.cpp:792-802), pairwise Weiner extension keeping pairs with
-    >= 2 union children (ebwt2InDel.cpp:529-553). chunk: (C,13).
-    """
-    (nf,) = flags  # packed flag words (see _flag_scatter)
-    C = chunk.shape[0]
-    valid = jnp.arange(C, dtype=jnp.int32) < count
-    c1 = chunk[:, 0:6]
-    c2 = chunk[:, 6:12]
-    depth = chunk[:, 12]
-    merged = c1 + c2
-    last = merged[:, 5]
-    dummy = jnp.int32(pat32(nf.shape[0] * 8))
-
-    idxs = []
-    vals = []
-    # find_leaves: a singleton merged position gets its DA bit from exactly
-    # one visited node pair (a deeper pair over the same singleton interval
-    # cannot have >= 2 union children), so the add never collides
-    da_values = jnp.int32(0)
-    for j in range(5):
-        l1 = c1[:, j + 1] - c1[:, j]
-        l2 = c2[:, j + 1] - c2[:, j]
-        cond = valid & ((l1 + l2) == 1)
-        pos = c1[:, j] + c2[:, j]
-        da_values = da_values + jnp.sum(cond.astype(jnp.int32))
-        cond_da = cond & (l2 == 1)
-        idxs.append(jnp.where(cond_da, pos, dummy))
-        vals.append(cond_da * 8)
-
-    lcp_values = jnp.int32(0)
-    n_min = jnp.int32(0)
-    for j in range(1, 5):
-        border = merged[:, j]
-        has_prev = ugt(border, merged[:, j - 1])  # unsigned: patterns
-        cond = valid & has_prev & (border != last)
-        lcp_values = lcp_values + jnp.sum(cond.astype(jnp.int32))
-        v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
-        if j >= 2:
-            prev_size = border - merged[:, j - 1]
-            cond_m = valid & (prev_size >= 2) & ult(border, last - 1)
-            n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
-            v = v + cond_m * 4
-        idxs.append(jnp.where(v > 0, border, dummy))
-        vals.append(v)
-    nf = _flag_scatter_compact(nf, jnp.concatenate(idxs),
-                               jnp.concatenate(vals))
-
-    if _DEDUP_FRAC > 0:
-        # pair chunks are especially run-heavy: a string present in only
-        # one BWT makes the other side's node empty (all 6 coords equal)
-        b = _dedup_budget(6 * C)
-        ext1 = fm_ops.extend_node_dedup(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]],
-                                        budget=b)
-        ext2 = fm_ops.extend_node_dedup(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]],
-                                        budget=b)
-    elif _NARROW:
-        b = _narrow_budget(C)
-        ext1 = fm_ops.extend_node_narrow(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]],
-                                         budget=b, valid=valid)
-        ext2 = fm_ops.extend_node_narrow(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]],
-                                         budget=b, valid=valid)
-    else:
-        ext1 = fm_ops.extend_node(fm1, chunk[:, [0, 1, 2, 3, 4, 5, 12]])
-        ext2 = fm_ops.extend_node(fm2, chunk[:, [6, 7, 8, 9, 10, 11, 12]])
-    u1 = ugt(ext1[..., 1:6], ext1[..., 0:5])
-    u2 = ugt(ext2[..., 1:6], ext2[..., 0:5])
-    n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
-    children = jnp.concatenate(
-        [ext1[..., :6], ext2[..., :6], ext1[..., 6:7]], axis=-1
-    )
-    keep = valid[:, None] & (n_union >= 2)
-    out, n_out = append(children.reshape(C * 4, 13), keep, False)
-
-    stats = (stats[0] + count, stats[1] + lcp_values, stats[2] + n_min,
-             stats[3] + da_values)
-    return out, n_out, (nf,), stats
-
-
-# ---------------------------------------------------------------------------
-# single-chunk jitted steps — the exposed 'forward step' building blocks
-# (used by __graft_entry__ and the sharded layer's tests)
-# ---------------------------------------------------------------------------
-
-
-@partial(jax.jit, static_argnames=("K", "k_right"), donate_argnums=(3,))
-def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
-    """One internal-node chunk step over the packed flag words (8 positions
-    x 4 bits per int32; 1=thr_K, 2=thr_R, 4=minima). The exposed
-    single-dispatch 'forward step' of the flagship compute path (used by
-    __graft_entry__)."""
-    def append(flat, keep, char_major):
-        if char_major:
-            return _compact_cm(flat, keep, budget=_compact_budget(
-                nodes.shape[0]))
-        return _compact(flat, keep.reshape(-1),
-                        budget=_compact_budget(nodes.shape[0]))
-
-    out, n_out, (nf,), st = _node_body(
-        fm, nodes, count, (node_flags,),
-        (jnp.int32(0),) * 4, K=K, k_right=k_right, append=append
-    )
-    return out, n_out, nf, st[1], st[2]
+# flag entries emitted per queue row, by body — sizes the dispatch log
+_ENTRY_FACTOR = {
+    "_leaf_body": 2,
+    "_leaf_body_wide": 4,
+    "_leaf_pair_body3": 3,
+    "_leaf_pair_body": 4,
+    "_leaf_pair_body_wide": 6,
+    "_node_body": 4,
+    "_node_pair_body": 9,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -824,13 +858,40 @@ def _queue_phase_dispatch(fms, q, flags, head, tail, stats, maxp, *, body,
     (q, head, tail, overflow, flags, stats(4,), max_pending).
     """
 
+    f = _ENTRY_FACTOR[body.__name__]
+    # regime choice by flag-buffer size: a scatter on a while-loop carry
+    # copies the WHOLE carry every iteration (docs/PERF.md round 4), so
+    # large flag buffers use the entry-log path (dus-aliased log in the
+    # loop, scatters applied after it); small buffers keep the direct
+    # in-loop scatter, whose copy is cheap and avoids the log machinery.
+    flag_bytes = sum(int(np.prod(fl.shape)) * 4 for fl in flags)
+    log_mode = flag_bytes >= _LOG_FLAGS_MIN
+    # node-family bodies emit ~96% dummy entries (only flagged borders
+    # carry a value): sort-compact each step's entries before logging so
+    # the apply pass only pays for real ones. Leaf-family entries are
+    # nearly all real — logged raw.
+    compact = log_mode and body.__name__ in ("_node_body",
+                                             "_node_pair_body")
+    # clamp iterations so the entry log stays <= ~0.5 GB (1 GB for
+    # compacted logs, whose reserved-but-unfilled slack costs nothing —
+    # only the filled prefix is ever applied); compacted logs still
+    # reserve f*chunk space per step (worst case) plus write slack
+    cap_entries = (1 << 27) if compact else (1 << 26)
+    iters_eff = max_iters if not log_mode else \
+        min(max_iters, max(16, cap_entries // (f * chunk)))
+    ramp_on = with_ramp and _RAMP and chunk > 4 * _RAMP
+    log_len = (f * chunk * (iters_eff + 1)
+               + (f * _RAMP * 64 if ramp_on else 0)) if log_mode else 1
+
     def cond(state):
-        _, head, tail, overflow, _, _, _, it = state
-        return (head < tail) & ~overflow & (it < max_iters)
+        it = state[-1]
+        _, head, tail, overflow = state[:4]
+        return (head < tail) & ~overflow & (it < iters_eff)
 
     def make_step(C: int):
         def step(state):
-            q, head, tail, overflow, flags, stats, maxp, it = state
+            (q, head, tail, overflow, flags, log_i, log_v, eoff, stats,
+             maxp, it) = state
             # reclaim consumed queue space: when the next append could
             # overrun the buffer, shift the pending region [head, tail)
             # back to offset 0 (amortized O(C) per step)
@@ -897,10 +958,77 @@ def _queue_phase_dispatch(fms, q, flags, head, tail, stats, maxp, *, body,
                 qq = jax.lax.while_loop(wcond, wstep, (jnp.int32(0), q))[1]
                 return qq, n_keep
 
-            q, n_out, flags, stats = body(
+            q, n_out, body_out, stats = body(
                 *fms, block, count, flags, stats, K=K, k_right=k_right,
-                append=append,
+                append=append, log_mode=log_mode,
             )
+            if not log_mode:
+                # small flag buffers: the body scattered directly (the
+                # per-iteration carry copy is cheap at this size)
+                flags = body_out
+                head = head + count
+                tail = tail + n_out
+                maxp = jnp.maximum(maxp, tail - head)
+                if _PROGRESS:
+                    jax.debug.print(
+                        "[progress] processed {p} items, {w} pending",
+                        p=stats[0], w=tail - head, ordered=False,
+                    )
+                return (q, head, tail, overflow, flags, log_i, log_v,
+                        eoff, stats, maxp, it + 1)
+            eidx, eval_ = body_out
+            # log the flag entries (dynamic_update_slice aliases the log
+            # in place across iterations); the host applies the filled
+            # log prefix to the flag buffers AFTER the dispatch — an
+            # in-loop scatter copies the whole multi-GB flag carry every
+            # iteration
+            if not compact:
+                log_i = jax.lax.dynamic_update_slice(log_i, eidx, (eoff,))
+                log_v = jax.lax.dynamic_update_slice(log_v, eval_, (eoff,))
+                eoff = eoff + eidx.shape[0]
+            else:
+                # sort-compact the ~4% real entries; budget slices write
+                # the kept prefix at the running offset (pad entries get
+                # the dummy index and are overwritten by the next step)
+                m = eidx.shape[0]
+                n_real = jnp.sum((eval_ > 0).astype(jnp.int32))
+                iota = jnp.arange(m, dtype=jnp.uint32)
+                key = jnp.where(
+                    eval_ > 0,
+                    (iota << 4) | eval_.astype(jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF),
+                )
+                skey = jax.lax.sort(key, is_stable=False)
+                budget = max(256, m // 8)
+                pad = (-m) % budget
+                if pad:
+                    skey = jnp.concatenate(
+                        [skey, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
+                ar = jnp.arange(budget, dtype=jnp.int32)
+                dummy_e = jnp.int32(pat32(flags[0].shape[0] * 8))
+
+                def wcond(st):
+                    return st[0] * budget < n_real
+
+                def wstep(st):
+                    it2, li, lv = st
+                    live = it2 * budget + ar < n_real
+                    sl = jax.lax.dynamic_slice(skey, (it2 * budget,),
+                                               (budget,))
+                    up = jax.lax.shift_right_logical(
+                        sl, jnp.uint32(4)).astype(jnp.int32)
+                    pos = jnp.where(
+                        live, eidx[jnp.minimum(up, m - 1)], dummy_e)
+                    v = (sl & jnp.uint32(15)).astype(jnp.int32)
+                    li = jax.lax.dynamic_update_slice(
+                        li, pos, (eoff + it2 * budget,))
+                    lv = jax.lax.dynamic_update_slice(
+                        lv, v, (eoff + it2 * budget,))
+                    return it2 + 1, li, lv
+
+                _, log_i, log_v = jax.lax.while_loop(
+                    wcond, wstep, (jnp.int32(0), log_i, log_v))
+                eoff = eoff + n_real
             head = head + count
             tail = tail + n_out
             maxp = jnp.maximum(maxp, tail - head)
@@ -909,15 +1037,18 @@ def _queue_phase_dispatch(fms, q, flags, head, tail, stats, maxp, *, body,
                     "[progress] processed {p} items, {w} pending",
                     p=stats[0], w=tail - head, ordered=False,
                 )
-            return q, head, tail, overflow, flags, stats, maxp, it + 1
+            return (q, head, tail, overflow, flags, log_i, log_v, eoff,
+                    stats, maxp, it + 1)
 
         return step
 
     stats_t = tuple(stats[i] for i in range(4))
-    state = (q, head, tail, jnp.bool_(False), flags, stats_t, maxp,
-             jnp.int32(0))
+    log_i = jnp.zeros(log_len, jnp.int32)
+    log_v = jnp.zeros(log_len, jnp.int32)
+    state = (q, head, tail, jnp.bool_(False), flags, log_i, log_v,
+             jnp.int32(0), stats_t, maxp, jnp.int32(0))
 
-    if with_ramp and _RAMP and chunk > 4 * _RAMP:
+    if ramp_on:
         # ramp loop (same program, same queue; first dispatch only): hand
         # off to the big-chunk loop once the frontier can utilize it, or
         # after a bounded amount of work so mid-size phases don't crawl
@@ -926,17 +1057,60 @@ def _queue_phase_dispatch(fms, q, flags, head, tail, stats, maxp, *, body,
         ramp_work = 32 * _RAMP
 
         def rcond(state):
-            _, head, tail, overflow, _, stats, _, _ = state
+            _, head, tail, overflow = state[:4]
+            stats = state[8]
+            it = state[-1]
             return ((head < tail) & ~overflow
                     & ((tail - head) <= ramp_limit)
-                    & (stats[0] < ramp_work))
+                    & (stats[0] < ramp_work) & (it < 64))
 
         state = jax.lax.while_loop(rcond, make_step(_RAMP), state)
+        # reset the iteration counter so the main loop gets its full
+        # budget (the log offset keeps advancing)
+        state = state[:10] + (jnp.int32(0),)
 
-    q, head, tail, overflow, flags, stats, maxp, _ = jax.lax.while_loop(
-        cond, make_step(chunk), state
-    )
-    return q, head, tail, overflow, flags, jnp.stack(stats), maxp
+    (q, head, tail, overflow, flags, log_i, log_v, eoff, stats, maxp,
+     _) = jax.lax.while_loop(cond, make_step(chunk), state)
+
+    if not log_mode:
+        return (q, head, tail, overflow, flags, None, None, eoff,
+                jnp.stack(stats), maxp)
+    if not compact:
+        # leaf-family logs are nearly full: apply them here, inside the
+        # dispatch (top-level scatters alias the donated flag buffers in
+        # place; no extra host round-trip). Unfilled tail slots hold
+        # zeros — a no-op add at index 0.
+        for a in range(0, log_len, _APPLY_SLICE):
+            b = min(a + _APPLY_SLICE, log_len)
+            ei = jax.lax.slice(log_i, (a,), (b,))
+            ev = jax.lax.slice(log_v, (a,), (b,))
+            flags = _dif_scatter(flags, ei, ev)
+        return (q, head, tail, overflow, flags, None, None, eoff,
+                jnp.stack(stats), maxp)
+    # compacted (node-family) logs are ~96% reserved slack: the scatter
+    # pays ~9 ns per SLOT filled or not, so the host applies just the
+    # filled prefix via _apply_log (the eoff sync piggybacks on the
+    # existing per-dispatch head/tail sync)
+    return (q, head, tail, overflow, flags, log_i, log_v, eoff,
+            jnp.stack(stats), maxp)
+
+
+_APPLY_SLICE = 1 << 24
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _apply_log(flags, log_i, log_v):
+    """Apply a compacted dispatch log (trimmed by the host to the filled
+    prefix, rounded up to _APPLY_SLICE) to the packed nibble words with
+    top-level scatters — in place via donation. Pad entries carry the
+    dummy index (dropped) or zero values (no-op)."""
+    L = log_i.shape[0]
+    for a in range(0, L, _APPLY_SLICE):
+        b = min(a + _APPLY_SLICE, L)
+        ei = jax.lax.slice(log_i, (a,), (b,))
+        ev = jax.lax.slice(log_v, (a,), (b,))
+        flags = (_flag_scatter(flags[0], ei, ev),)
+    return flags
 
 
 # chunk steps per device dispatch: large enough that dispatch overhead
@@ -999,12 +1173,18 @@ def _run_phase(fms, init_np, flags_factory, body, n_hint, K, k_right):
 
         d = 0
         while True:
-            q, head, tail, overflow, flags, stats, maxp = \
-                _queue_phase_dispatch(
-                    fms, q, flags, head, tail, stats, maxp, body=body,
-                    w=w, chunk=CHUNK, K=K, k_right=k_right,
-                    max_iters=_DISPATCH_ITERS, with_ramp=first,
-                )
+            (q, head, tail, overflow, flags, log_i, log_v, eoff, stats,
+             maxp) = _queue_phase_dispatch(
+                fms, q, flags, head, tail, stats, maxp, body=body,
+                w=w, chunk=CHUNK, K=K, k_right=k_right,
+                max_iters=_DISPATCH_ITERS, with_ramp=first,
+            )
+            if log_i is not None:  # compacted log: host applies the
+                m_fill = -(-max(int(eoff), 1) // _APPLY_SLICE) * \
+                    _APPLY_SLICE  # filled prefix only
+                m_fill = min(m_fill, log_i.shape[0])
+                flags = _apply_log(flags, log_i[:m_fill], log_v[:m_fill])
+                del log_i, log_v
             first = False
             d += 1
             if bool(overflow) or int(head) >= int(tail):

@@ -289,6 +289,7 @@ def test_memory_lean_paths_byte_parity(tmp_path, rng, monkeypatch):
     from ebwt2indel_tpu.models import traverse
 
     monkeypatch.setattr(traverse, "_LEAN_N", 1000)
+    monkeypatch.setattr(traverse, "_LOG_FLAGS_MIN", 0)
 
     path, _ = make_dataset(str(tmp_path), rng)
     ref_out = str(tmp_path / "ref.snp")
@@ -323,6 +324,7 @@ def test_huge_packed_paths_byte_parity(tmp_path, rng, monkeypatch):
     from ebwt2indel_tpu.models import traverse
 
     monkeypatch.setattr(traverse, "_LEAN_N", 1000)
+    monkeypatch.setattr(traverse, "_LOG_FLAGS_MIN", 0)
     monkeypatch.setenv("EBWT_FORCE_HUGE_DIF", "1")
 
     path, _ = make_dataset(str(tmp_path), rng)

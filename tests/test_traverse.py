@@ -157,16 +157,28 @@ def test_queue_roll_reclaim_matches_large_queue(rng):
     def run(cap):
         q = jnp.zeros((cap + 4 * T.CHUNK) * 7, jnp.int32)
         q = q.at[:7].set(init.reshape(-1))
-        q, head, tail, overflow, (nf,), stats, maxp = \
-            T._queue_phase_dispatch(
-                (fm,), q, (jnp.zeros(T._flag_words(n), jnp.int32),),
-                jnp.int32(0), jnp.int32(1), jnp.zeros(4, jnp.int32),
-                jnp.int32(1), body=T._node_body, w=7, chunk=T.CHUNK,
-                K=5, k_right=8, max_iters=1 << 30, with_ramp=True,
+        flags = (jnp.zeros(T._flag_words(n), jnp.int32),)
+        head, tail = jnp.int32(0), jnp.int32(1)
+        stats, maxp = jnp.zeros(4, jnp.int32), jnp.int32(1)
+        first = True
+        while True:
+            (q, head, tail, overflow, flags, log_i, log_v, eoff, stats,
+             maxp) = T._queue_phase_dispatch(
+                (fm,), q, flags, head, tail, stats, maxp,
+                body=T._node_body, w=7, chunk=T.CHUNK,
+                K=5, k_right=8, max_iters=1 << 30, with_ramp=first,
             )
-        assert not bool(overflow), cap
-        assert int(head) >= int(tail)
-        return np.asarray(nf), np.asarray(stats)
+            if log_i is not None:
+                m_fill = -(-max(int(eoff), 1) // T._APPLY_SLICE) * \
+                    T._APPLY_SLICE
+                m_fill = min(m_fill, log_i.shape[0])
+                flags = T._apply_log(flags, log_i[:m_fill],
+                                     log_v[:m_fill])
+            first = False
+            assert not bool(overflow), cap
+            if int(head) >= int(tail):
+                break
+        return np.asarray(flags[0]), np.asarray(stats)
 
     big_nf, big_stats = run(1 << 21)
     # tiny capacity: total nodes far exceed it, so rolls must trigger
@@ -265,42 +277,6 @@ def test_ramp_loop_equivalence(rng, monkeypatch):
         assert a.stats["lcp_values"] == b.stats["lcp_values"]
     np.testing.assert_array_equal(np.asarray(on2.da), np.asarray(off2.da))
 
-
-def test_flag_scatter_compact_big_n_path(rng, monkeypatch):
-    """The any-n iota-sort flag compaction (taken when positions exceed
-    the packed-key bound, e.g. n >= 2^28) must scatter identically to the
-    packed-key path and the direct scatter."""
-    import jax.numpy as jnp
-
-    from ebwt2indel_tpu.models import traverse as T
-
-    nw = 4096  # 32768 positions
-    borders = rng.integers(0, nw * 8, size=5000).astype(np.int32)
-    vals = rng.integers(0, 16, size=5000).astype(np.int32)
-    nf0 = jnp.zeros(nw, jnp.int32)
-    want = np.asarray(T._flag_scatter(
-        nf0, jnp.asarray(np.where(vals > 0, borders, -1)),
-        jnp.asarray(vals)))
-    got_packed = np.asarray(T._flag_scatter_compact(
-        nf0, jnp.asarray(borders), jnp.asarray(vals)))
-    monkeypatch.setattr(T, "_FLAG_PACK_LIMIT", 1)
-    got_iota = np.asarray(T._flag_scatter_compact(
-        nf0, jnp.asarray(borders), jnp.asarray(vals)))
-    np.testing.assert_array_equal(got_packed, want)
-    np.testing.assert_array_equal(got_iota, want)
-
-    # 3-bit packed key (mode-1 node values <= 7) and its any-n fallback
-    vals3 = (vals & 7).astype(np.int32)
-    want3 = np.asarray(T._flag_scatter(
-        nf0, jnp.asarray(np.where(vals3 > 0, borders, -1)),
-        jnp.asarray(vals3)))
-    got_p3 = np.asarray(T._flag_scatter_compact(
-        nf0, jnp.asarray(borders), jnp.asarray(vals3), vals_bits=3))
-    monkeypatch.setattr(T, "_FLAG_PACK3_LIMIT", 1)
-    got_i3 = np.asarray(T._flag_scatter_compact(
-        nf0, jnp.asarray(borders), jnp.asarray(vals3), vals_bits=3))
-    np.testing.assert_array_equal(got_p3, want3)
-    np.testing.assert_array_equal(got_i3, want3)
 
 
 def test_bounded_dispatch_and_checkpoint_resume(tmp_path, rng, monkeypatch):
