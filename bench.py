@@ -1,9 +1,19 @@
 """Benchmark: end-to-end calling throughput (BWT positions/sec) vs the
 compiled reference, with byte-parity verification, for all three modes.
 
-Prints one JSON line per benchmarked mode ({"metric", "value", "unit",
-"vs_baseline"}); the mode-1 headline line is printed LAST so a
-take-the-last-line driver records the same metric as previous rounds.
+Timeout-proof structure (round 5): mode 1 — the headline the driver's
+last-line parser records — runs FIRST and its JSON line is printed (and
+flushed) the moment it is measured; modes 2 and 3 follow, each likewise
+printing their line immediately. After all modes, the mode-1 line is
+re-printed so the LAST stdout line is always the headline metric. If the
+driver's timeout kills the process mid-mode, every already-measured mode
+has already been emitted — nothing is lost (the r04 failure mode where
+rc=124 erased 40 minutes of results, BENCH_r04.json).
+
+A wall-clock budget (BENCH_BUDGET_S, default 3300 s) is checked before
+each mode: when the remaining budget is smaller than that mode's expected
+cost (last observed warmup+timed+reference wall), the mode is skipped with
+a log line rather than risking the headline.
 
 Runs on whatever JAX backend the environment provides (real TPU under the
 driver; CPU as fallback). The first pipeline run per mode warms the
@@ -12,8 +22,8 @@ vs_baseline is the speedup over the reference binary's wall time on the
 same input (reference is single-threaded CPU — its only parallel story is
 process sharding, pebwt2InDel.sh).
 
-Env knobs: BENCH_MODES (default "2,3,1"), BENCH_GENOME_LEN, BENCH_COVERAGE,
-BENCH_READ_LEN.
+Env knobs: BENCH_MODES (default "1,2,3"), BENCH_GENOME_LEN, BENCH_COVERAGE,
+BENCH_READ_LEN, BENCH_BUDGET_S, BENCH_REPEATS, BENCH_REF_REPEATS.
 """
 
 from __future__ import annotations
@@ -34,7 +44,14 @@ REF_BIN = os.path.join(REPO, ".ref_build", "ebwt2InDel")
 GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", 4_600_000))
 COVERAGE = float(os.environ.get("BENCH_COVERAGE", 25))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 100))
-MODES = [int(m) for m in os.environ.get("BENCH_MODES", "2,3,1").split(",")]
+MODES = [int(m) for m in os.environ.get("BENCH_MODES", "1,2,3").split(",")]
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3300))
+_T0 = time.perf_counter()
+
+# Expected per-mode wall cost (warmup + timed runs + reference runs) used
+# for the skip decision, seeded from the r03/r04 driver captures at the
+# default 116M-position scale; scaled by dataset size at runtime.
+_EXPECTED_S_AT_116M = {1: 180.0, 2: 1100.0, 3: 700.0}
 
 
 def log(msg):
@@ -169,16 +186,35 @@ def bench_mode(mode: int, paths, n_positions: int, ref: str | None) -> dict:
     vs_baseline = None
     if ref:
         ref_out = os.path.join(DATA, f"ref_m{mode}.snp")
-        ref_times = []
-        for _ in range(ref_repeats):
-            t0 = time.perf_counter()
-            subprocess.run([ref] + ref_args(mode, paths, ref_out),
-                           check=True, capture_output=True)
-            ref_times.append(time.perf_counter() - t0)
-        t_ref = min(ref_times)
-        log(f"[bench] mode {mode}: reference min {t_ref:.2f}s of "
-            f"{[round(t, 2) for t in ref_times]} "
-            f"({n_positions / t_ref / 1e6:.2f} Mpos/s)")
+        # The reference binary and the (seeded, deterministic) dataset are
+        # identical across bench invocations, so its output + min wall time
+        # are cached on disk keyed by the dataset tag — re-measuring the
+        # single-threaded reference costs ~390 s per invocation for mode 2
+        # alone, which is budget the driver timeout does not have.
+        memo = os.path.join(DATA, f"ref_m{mode}_{_tag()}.json")
+        t_ref = None
+        if os.path.isfile(memo) and os.path.isfile(ref_out):
+            try:
+                saved = json.load(open(memo))
+                if saved.get("n") == n_positions:
+                    t_ref = saved["t_ref"]
+                    log(f"[bench] mode {mode}: reference memoized "
+                        f"{t_ref:.2f}s ({memo})")
+            except Exception:
+                t_ref = None
+        if t_ref is None:
+            ref_times = []
+            for _ in range(ref_repeats):
+                t0 = time.perf_counter()
+                subprocess.run([ref] + ref_args(mode, paths, ref_out),
+                               check=True, capture_output=True)
+                ref_times.append(time.perf_counter() - t0)
+            t_ref = min(ref_times)
+            log(f"[bench] mode {mode}: reference min {t_ref:.2f}s of "
+                f"{[round(t, 2) for t in ref_times]} "
+                f"({n_positions / t_ref / 1e6:.2f} Mpos/s)")
+            with open(memo, "w") as f:
+                json.dump({"n": n_positions, "t_ref": t_ref}, f)
         parity = open(ours_out, "rb").read() == open(ref_out, "rb").read()
         log(f"[bench] mode {mode}: parity "
             f"{'BYTE-IDENTICAL' if parity else 'MISMATCH'}")
@@ -243,10 +279,12 @@ def main() -> int:
         f"devices: {jax.devices()}")
     ref = ensure_reference()
 
-    results: list[dict] = []
     rc = 0
-    # mode 1 last: its JSON line is the headline a last-line parser records
-    for mode in [m for m in MODES if m != 1] + ([1] if 1 in MODES else []):
+    headline: dict | None = None
+    # mode 1 FIRST: its JSON line is the headline a last-line parser
+    # records; each mode's line is flushed the moment it is measured.
+    ordered = ([1] if 1 in MODES else []) + [m for m in MODES if m != 1]
+    for mode in ordered:
         if mode == 1:
             p1 = ensure_dataset_mode1()
             paths = (p1,)
@@ -255,13 +293,22 @@ def main() -> int:
             pa, pb, pm, pd = ensure_dataset_pair()
             paths = (pa, pb) if mode == 2 else (pm, pd)
             n = os.path.getsize(pm)
+        elapsed = time.perf_counter() - _T0
+        expected = _EXPECTED_S_AT_116M.get(mode, 600.0) * max(
+            n / 116e6, 0.05)
+        if mode != 1 and elapsed + expected > BUDGET_S:
+            log(f"[bench] mode {mode}: SKIPPED — {elapsed:.0f}s elapsed + "
+                f"~{expected:.0f}s expected > budget {BUDGET_S:.0f}s")
+            continue
         res = bench_mode(mode, paths, n, ref)
         if res["value"] == 0.0:
             rc = 1
-        results.append(res)
-
-    for res in results:
-        print(json.dumps(res))
+        print(json.dumps(res), flush=True)
+        if mode == 1:
+            headline = res
+    # re-print the headline so the LAST line is always the mode-1 metric
+    if headline is not None and ordered[-1] != 1:
+        print(json.dumps(headline), flush=True)
     return rc
 
 
