@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.coords import pat32, ugt, ult, unpat
+from ..ops.coords import pat32, uge, ugt, ult, unpat
 from . import fm_index as fm_ops
 from .fm_index import FMIndex
 
@@ -293,7 +293,7 @@ def _leaf_children(fm, first, second, depth, valid, append):
         lo4, hi4 = fm_ops.lf_range(fm, first, second)
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
     children = jnp.stack([lo4, hi4, child_depth], axis=-1)  # (C, 4, 3)
-    keep = valid[:, None] & ((hi4 - lo4) >= 2)
+    keep = valid[:, None] & uge(hi4 - lo4, 2)
     return append(children.reshape(C * 4, 3), keep, True)
 
 
@@ -444,7 +444,7 @@ def _node_body(fm: FMIndex, chunk, count, flags, stats, *, K, k_right, append, l
         v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
         if j >= 2:
             prev_size = border - chunk[:, j - 1]
-            cond_m = valid & (prev_size >= 2) & ult(border, last - 1)
+            cond_m = valid & uge(prev_size, 2) & ult(border, last - 1)
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))
@@ -494,7 +494,7 @@ def _leaf_pair_children(fm1, fm2, f1, s1, f2, s2, depth, valid,
     child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
     children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
     combined = (hi1 - lo1) + (hi2 - lo2)
-    keep = valid[:, None] & (combined >= 2)
+    keep = valid[:, None] & uge(combined, 2)
     return append(children.reshape(C * 4, 5), keep, False)
 
 
@@ -668,7 +668,7 @@ def _node_pair_body(fm1, fm2, chunk, count, flags, stats, *, K, k_right, append,
         v = ((cond & (depth >= K)) * 1 + (cond & (depth >= k_right)) * 2)
         if j >= 2:
             prev_size = border - merged[:, j - 1]
-            cond_m = valid & (prev_size >= 2) & ult(border, last - 1)
+            cond_m = valid & uge(prev_size, 2) & ult(border, last - 1)
             n_min = n_min + jnp.sum(cond_m.astype(jnp.int32))
             v = v + cond_m * 4
         idxs.append(jnp.where(v > 0, border, dummy))

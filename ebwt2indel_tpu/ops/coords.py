@@ -46,8 +46,9 @@ def unpat(x) -> int:
 
 
 def asu32(x):
-    """Reinterpret an int32 array as uint32 (free on TPU: modular convert)."""
-    return x.astype(jnp.uint32)
+    """Reinterpret an int32 array (or Python int scalar) as uint32 (free
+    on TPU: modular convert)."""
+    return jnp.asarray(x).astype(jnp.uint32)
 
 
 def ult(a, b):
@@ -72,6 +73,11 @@ def umin(a, b):
     return jnp.minimum(asu32(a), asu32(b)).astype(jnp.int32)
 
 
+def umax(a, b):
+    """Unsigned elementwise max on int32 patterns, returned as int32."""
+    return jnp.maximum(asu32(a), asu32(b)).astype(jnp.int32)
+
+
 def ucummin_rev(x):
     """Unsigned reverse cumulative min on int32 patterns (int32 out)."""
     return jax.lax.cummin(asu32(x), reverse=True).astype(jnp.int32)
@@ -80,3 +86,19 @@ def ucummin_rev(x):
 def usort(x):
     """Unsigned ascending sort of int32 patterns (int32 out)."""
     return jax.lax.sort(asu32(x), is_stable=False).astype(jnp.int32)
+
+
+def udiv(a, d: int):
+    """Unsigned a // d on int32 patterns (d a positive Python int < 2^31).
+
+    Needed wherever a position past 2^31 picks an owner shard
+    (parallel/frontier.py's merged-position routing): signed division on
+    the negative pattern would route to shard 0."""
+    return (asu32(a) // jnp.uint32(d)).astype(jnp.int32)
+
+
+def uclip(x, lo, hi):
+    """Unsigned clamp of int32 patterns to [lo, hi] (int32 arrays or
+    scalars; int32 out)."""
+    return jnp.clip(asu32(x), asu32(jnp.asarray(lo, jnp.int32)),
+                    asu32(jnp.asarray(hi, jnp.int32))).astype(jnp.int32)

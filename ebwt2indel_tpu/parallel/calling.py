@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..models import call
+from ..ops.coords import asu32, pat32, ult, umin
 from . import shard
 from .shard import AXIS
 
@@ -75,7 +76,10 @@ def extract_dna_sharded(mesh, blocks, block_counts, F, bounds, starts,
              out_specs=(P(), P()), check_vma=False)
     def run(blocks_l, counts_l, F_rep, bounds_rep, st, act):
         def f_char(i):
-            r = jnp.searchsorted(F_rep, i, side="right").astype(jnp.int32)
+            # F and i are uint32 bit patterns: broadcast unsigned compare
+            # (models/fm_index.f_char; dna_bwt.hpp:100-110)
+            r = jnp.sum((asu32(F_rep) <= asu32(i)[..., None])
+                        .astype(jnp.int32), axis=-1)
             return jnp.where(r == 0, jnp.int32(4), r - 1)
 
         def fl(i):
@@ -100,15 +104,20 @@ def next_set_table_sharded(mesh, thr_R, *, local_n, n):
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS),),
              out_specs=P(AXIS), check_vma=False)
     def run(thr_l):
+        # positions are uint32 bit patterns: the no-set sentinel is the
+        # pattern of n (unsigned-greater than every real position) and
+        # every min/scan runs on the unsigned view (ops.coords)
         sid = jax.lax.axis_index(AXIS)
         n_dev = jax.lax.axis_size(AXIS)
+        n_pat = jnp.int32(pat32(n))
         gpos = sid * local_n + jnp.arange(local_n, dtype=jnp.int32)
-        idx = jnp.where(thr_l & (gpos < n), gpos, jnp.int32(n))
-        loc = jax.lax.cummin(idx, reverse=True)
+        idx = jnp.where(thr_l & ult(gpos, n_pat), gpos, n_pat)
+        loc = jax.lax.cummin(asu32(idx), reverse=True).astype(jnp.int32)
         mins = jax.lax.all_gather(loc[0], AXIS)  # (n_dev,)
         after = jnp.arange(n_dev, dtype=jnp.int32) > sid
-        right = jnp.min(jnp.where(after, mins, jnp.int32(n)))
-        return jnp.minimum(loc, right)
+        right = jnp.min(jnp.where(after, asu32(mins),
+                                  asu32(n_pat))).astype(jnp.int32)
+        return umin(loc, right)
 
     return run(thr_R)
 
@@ -189,7 +198,7 @@ def _cluster_marks(mesh, thr_K, minima, *, local_n, n):
         sid = jax.lax.axis_index(AXIS)
         n_dev = jax.lax.axis_size(AXIS)
         gpos = sid * local_n + jnp.arange(local_n, dtype=jnp.int32)
-        mask = thr_l & ~min_l & (gpos < n)
+        mask = thr_l & ~min_l & ult(gpos, jnp.int32(pat32(n)))
         # halos: non-receiving edge shards get ppermute's zero fill (False)
         left_last = jax.lax.ppermute(
             mask[-1], AXIS, [(i, i + 1) for i in range(n_dev - 1)]
@@ -200,7 +209,7 @@ def _cluster_marks(mesh, thr_K, minima, *, local_n, n):
         prev = jnp.concatenate([left_last[None], mask[:-1]])
         nxt = jnp.concatenate([mask[1:], right_first[None]])
         is_start = mask & ~prev
-        end_at = mask & ~nxt & (gpos != n - 1)
+        end_at = mask & ~nxt & (gpos != jnp.int32(pat32(n - 1)))
         return (is_start, end_at,
                 jax.lax.psum(is_start.sum(dtype=jnp.int32), AXIS),
                 jax.lax.psum(end_at.sum(dtype=jnp.int32), AXIS))
@@ -281,7 +290,7 @@ def first_thr_position_sharded(mesh, next_set, begins, ends, *, local_n):
         mine = (local >= 0) & (local < local_n)
         safe = jnp.clip(local, 0, local_n - 1)
         pos = jax.lax.psum(jnp.where(mine, ns_l[safe], 0), AXIS)
-        found = pos < e
+        found = ult(pos, e)  # unsigned: positions past 2^31
         return jnp.where(found, pos, 0), found
 
     return run(next_set, begins, ends)

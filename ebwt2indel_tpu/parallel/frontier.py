@@ -42,6 +42,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..models import traverse as t1
+from ..ops.coords import pat32, udiv, uge, ugt, ult
 from ..ops.packing import PackedBwt
 from . import shard
 
@@ -295,6 +296,8 @@ def _frontier_node_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
         blocks_h = jnp.concatenate([blocks_l, halo[None]], axis=0)
 
         def flag_entries(rows7, vmask):
+            # positions/sizes are uint32 bit patterns (ops.coords):
+            # ordered compares use the unsigned view
             c = rows7[:, :6]
             depth = rows7[:, 6]
             last = c[:, 5]
@@ -303,14 +306,15 @@ def _frontier_node_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
             idxs, vals = [], []
             for j in range(1, 5):
                 border = c[:, j]
-                has_prev = border > c[:, j - 1]
+                has_prev = ugt(border, c[:, j - 1])
                 cond = vmask & has_prev & (border != last)
                 lcp = lcp + jnp.sum(cond.astype(jnp.int32))
                 v = ((cond & (depth >= K)) * 1
                      + (cond & (depth >= k_right)) * 2)
                 if j >= 2:
                     prev_size = border - c[:, j - 1]
-                    cond_m = vmask & (prev_size >= 2) & (border < last - 1)
+                    cond_m = vmask & uge(prev_size, 2) & \
+                        ult(border, last - 1)
                     nmin = nmin + jnp.sum(cond_m.astype(jnp.int32))
                     v = v + cond_m * 4
                 idxs.append(border)
@@ -370,11 +374,15 @@ def _frontier_node_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
             wext = jnp.concatenate([wext, wdepth], axis=-1)
 
             # ---- flag writes -------------------------------------------
+            # a narrow node's borders sit within 256 positions of its
+            # owner shard's range, so the wrapped local offset of a
+            # live (nval > 0) entry is exactly ult-classifiable: mine
+            # in [0, local_pos), spill in [local_pos, local_pos + 256)
             nidx, nval, lcp_n, min_n = flag_entries(block, narrow)
             lpos = nidx - base_pos
-            mine = (nval > 0) & (lpos >= 0) & (lpos < local_pos)
+            mine = (nval > 0) & ult(lpos, local_pos)
             nf_l = t1._flag_scatter(nf_l, jnp.where(mine, lpos, -1), nval)
-            spill = (nval > 0) & (lpos >= local_pos)
+            spill = (nval > 0) & ~ult(lpos, local_pos)
             n_sp = jnp.sum(spill.astype(jnp.int32))
             ovf = ovf + (n_sp > fbudget)
             m4 = nidx.shape[0]
@@ -400,14 +408,14 @@ def _frontier_node_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
             # that land locally; count stats only for own contributions
             widx, wval, _, _ = flag_entries(wflat, wvalid)
             wlpos = widx - base_pos
-            wmine = (wval > 0) & (wlpos >= 0) & (wlpos < local_pos)
+            wmine = (wval > 0) & ult(wlpos, local_pos)
             nf_l = t1._flag_scatter(nf_l, jnp.where(wmine, wlpos, -1),
                                     wval)
             _, _, lcp_w, min_w = flag_entries(wflat, wvalid & (wsrc == sid))
 
             # ---- narrow children: dest-sorted buckets + all_to_all -----
-            nch = jnp.sum((ext[..., 1:6] > ext[..., 0:5]).astype(jnp.int32),
-                          axis=-1)
+            nch = jnp.sum(ugt(ext[..., 1:6],
+                              ext[..., 0:5]).astype(jnp.int32), axis=-1)
             flat_n = ext.reshape(M, 7)
             keep_flat = (narrow[:, None] & (nch >= 2)).reshape(M)
             dest = jnp.clip(
@@ -437,7 +445,7 @@ def _frontier_node_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
             rq, n_rq = t1._compact(recv, slot_s < rcnt[slot_d])
 
             # wide children: everyone has wext; push only the owned ones
-            wch = jnp.sum((wext[..., 1:6] > wext[..., 0:5]).astype(
+            wch = jnp.sum(ugt(wext[..., 1:6], wext[..., 0:5]).astype(
                 jnp.int32), axis=-1)
             wflat_c = wext.reshape(NW * 4, 7)
             wdest = jnp.clip(
@@ -526,21 +534,25 @@ def _frontier_leaf_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
         blocks_h = jnp.concatenate([blocks_l, halo[None]], axis=0)
 
         def delta_entries(rows3, vmask):
+            """(positions, dual-lane values, live mask, lcp sum) of the
+            given leaf rows. Positions are uint32 bit patterns; liveness
+            rides the explicit keep mask (a -1 sentinel would collide
+            with the sign bit of positions past 2^31)."""
             first, second, depth = rows3[:, 0], rows3[:, 1], rows3[:, 2]
             condK = vmask & (depth >= K)
             condR = vmask & (depth >= k_right)
             v = condK * 1 + condR * 65536
-            idx = jnp.concatenate([
-                jnp.where(v != 0, first + 1, -1),
-                jnp.where(v != 0, second, -1),
-            ])
+            idx = jnp.concatenate([first + 1, second])
             val = jnp.concatenate([v, -v])
+            keep = jnp.concatenate([v != 0, v != 0])
             lcp = jnp.sum(jnp.where(vmask, second - first - 1, 0))
-            return idx, val, lcp
+            return idx, val, keep, lcp
 
-        def scatter_local(dif_l, idx, val):
+        def scatter_local(dif_l, idx, val, keep):
+            # live entries of a narrow leaf sit within 256 positions of
+            # the owner's range: wrapped local offsets are ult-exact
             lpos = idx - base_pos
-            ok = (idx >= 0) & (lpos >= 0) & (lpos < local_pos)
+            ok = keep & ult(lpos, local_pos)
             return dif_l.at[jnp.where(ok, lpos, local_pos)].add(
                 val, mode="drop")
 
@@ -594,10 +606,10 @@ def _frontier_leaf_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
             whi = F4 + wranks[:, 1]
 
             # boundary deltas: local scatter + right-neighbor spill
-            nidx, nval, lcp_n = delta_entries(block, narrow)
-            dif_l = scatter_local(dif_l, nidx, nval)
+            nidx, nval, nkeep, lcp_n = delta_entries(block, narrow)
+            dif_l = scatter_local(dif_l, nidx, nval, nkeep)
             lpos = nidx - base_pos
-            spill = (nidx >= 0) & (lpos >= local_pos)
+            spill = nkeep & ~ult(lpos, local_pos)
             n_sp = jnp.sum(spill.astype(jnp.int32))
             ovf = ovf + (n_sp > fbudget)
             m2 = nidx.shape[0]
@@ -617,15 +629,15 @@ def _frontier_leaf_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
                 (fwd[:, 0] >= 0) & (sid > 0), fwd[:, 0], local_pos
             )].add(fwd[:, 1], mode="drop")
 
-            widx, wval, _ = delta_entries(wflat, wvalid)
-            dif_l = scatter_local(dif_l, widx, wval)
-            _, _, lcp_w = delta_entries(wflat, wvalid & (wsrc == sid))
+            widx, wval, wkeep_d, _ = delta_entries(wflat, wvalid)
+            dif_l = scatter_local(dif_l, widx, wval, wkeep_d)
+            _, _, _, lcp_w = delta_entries(wflat, wvalid & (wsrc == sid))
 
             # children (next_leaves): W# extensions with size >= 2, routed
             child_depth = jnp.broadcast_to((block[:, 2] + 1)[:, None],
                                            lo4.shape)
             children = jnp.stack([lo4, hi4, child_depth], -1)  # (C,4,3)
-            keep = narrow[:, None] & ((hi4 - lo4) >= 2)
+            keep = narrow[:, None] & uge(hi4 - lo4, 2)
             flat_n = jnp.swapaxes(children, 0, 1).reshape(M, 3)
             keep_flat = jnp.swapaxes(keep, 0, 1).reshape(M)
             dest = jnp.clip(
@@ -659,7 +671,7 @@ def _frontier_leaf_phase(mesh, blocks, F6, state, *, rows, queue_cap, chunk,
                 -1,
             ).reshape(NW * 4, 3)
             wkeep = (wvalid[:, None] &
-                     ((whi - wlo) >= 2)).reshape(-1)
+                     uge(whi - wlo, 2)).reshape(-1)
             wdest = jnp.clip(
                 jax.lax.shift_right_logical(wchildren[:, 0], 7) // rows,
                 0, n_dev - 1,
@@ -749,7 +761,7 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
         seg = 2 * chunk
     queue_cap = max(1 << 16, sfm.n // (16 * n_dev))
     F6 = jnp.concatenate(
-        [sfm.F, jnp.asarray([sfm.n], jnp.int32)]
+        [sfm.F, jnp.asarray([pat32(sfm.n)], jnp.int32)]
     )
 
     F_host = np.asarray(sfm.F, dtype=np.int32)
@@ -791,7 +803,7 @@ def navigate_one_bwt_frontier_device(sfm: shard.ShardedFM, K: int,
     while True:
         caprows = qc + n_dev * sg + 4 * n_dev * min(wb, chunk)
         seed = jnp.asarray(
-            [0, *(int(x) for x in F_host), sfm.n, 0], jnp.int32)
+            [0, *(int(x) for x in F_host), pat32(sfm.n), 0], jnp.int32)
         state = _frontier_state_init(mesh, seed, caprows=caprows, w=7,
                                      flag_len=rows * 16)
         state = _maybe_resume(state, mesh, tag="m1node", caprows=caprows)
@@ -987,7 +999,7 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 didx, dval, dkeep, lcp_n, da_n = delta_entries(block, nrw)
                 fr, n_fr, ovf_f = _route(
                     jnp.stack([didx, dval], axis=-1), dkeep,
-                    jnp.clip(didx // local_n, 0, n_dev - 1), fseg,
+                    jnp.minimum(udiv(didx, local_n), n_dev - 1), fseg,
                     n_dev=n_dev, sid=sid,
                 )
                 flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
@@ -1000,7 +1012,7 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 # locally; stats counted once (own rows only)
                 widx, wval, wdkeep, _, _ = delta_entries(wflat, wvalid)
                 wlp = widx - base_pos
-                wok = wdkeep & (wlp >= 0) & (wlp < local_n)
+                wok = wdkeep & ult(wlp, local_n)
                 dif_l = dif_l.at[
                     jnp.where(wok, wlp, local_n)
                 ].add(jnp.where(wdkeep, wval, 0), mode="drop")
@@ -1013,7 +1025,7 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 children = jnp.stack([lo1, hi1, lo2, hi2, child_depth],
                                      -1)
                 combined = (hi1 - lo1) + (hi2 - lo2)
-                keep = (nrw[:, None] & (combined >= 2)).reshape(M)
+                keep = (nrw[:, None] & uge(combined, 2)).reshape(M)
                 flat_c = children.reshape(M, 5)
                 rq, n_rq, ovf_c = _route(
                     flat_c, keep,
@@ -1044,7 +1056,7 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 )
                 wq, n_wq = t1._compact(
                     wflat_c,
-                    (wvalid[:, None] & (wcombined >= 2)).reshape(-1)
+                    (wvalid[:, None] & uge(wcombined, 2)).reshape(-1)
                     & (wdest == sid),
                 )
                 q = jax.lax.dynamic_update_slice(q, wq,
@@ -1092,7 +1104,7 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                                                                valid)
                 fr, n_fr, ovf_f = _route(
                     jnp.stack([didx, dval], axis=-1), dkeep,
-                    jnp.clip(didx // local_n, 0, n_dev - 1), fseg,
+                    jnp.minimum(udiv(didx, local_n), n_dev - 1), fseg,
                     n_dev=n_dev, sid=sid,
                 )
                 flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
@@ -1108,7 +1120,7 @@ def _frontier_leaf_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 children = jnp.stack([lo1, hi1, lo2, hi2, child_depth],
                                      -1)
                 combined = (hi1 - lo1) + (hi2 - lo2)
-                keep = (valid[:, None] & (combined >= 2)).reshape(M)
+                keep = (valid[:, None] & uge(combined, 2)).reshape(M)
                 flat_c = children.reshape(M, 5)
                 rq, n_rq, ovf_c = _route(
                     flat_c, keep,
@@ -1271,14 +1283,15 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, state, *,
             nmin = jnp.int32(0)
             for j in range(1, 5):
                 border = merged[:, j]
-                has_prev = border > merged[:, j - 1]
+                has_prev = ugt(border, merged[:, j - 1])
                 cond = vmask & has_prev & (border != last)
                 lcp = lcp + jnp.sum(cond.astype(jnp.int32))
                 v = ((cond & (depth >= K)) * 1
                      + (cond & (depth >= k_right)) * 2)
                 if j >= 2:
                     prev_size = border - merged[:, j - 1]
-                    cond_m = vmask & (prev_size >= 2) & (border < last - 1)
+                    cond_m = vmask & uge(prev_size, 2) & \
+                        ult(border, last - 1)
                     nmin = nmin + jnp.sum(cond_m.astype(jnp.int32))
                     v = v + cond_m * 4
                 idxs.append(border)
@@ -1362,7 +1375,7 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                     block, nrw)
                 fr, n_fr, ovf_f = route(
                     jnp.stack([fidx, fval], axis=-1), fval > 0,
-                    jnp.clip(fidx // local_n, 0, n_dev - 1), fseg,
+                    jnp.minimum(udiv(fidx, local_n), n_dev - 1), fseg,
                 )
                 ovf = ovf + ovf_f
                 flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
@@ -1376,7 +1389,7 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 # (own contributions only)
                 widx, wval, _, _, _ = pair_flag_entries(wflat, wvalid)
                 wlp = widx - base_pos
-                wmine = (wval > 0) & (wlp >= 0) & (wlp < local_n)
+                wmine = (wval > 0) & ult(wlp, local_n)
                 nf_l = t1._flag_scatter(
                     nf_l, jnp.where(wmine, wlp, -1), wval)
                 _, _, lcp_w, min_w, da_w = pair_flag_entries(
@@ -1386,8 +1399,8 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 da_v = da_v + da_w
 
                 # narrow children routed by side-1 owner
-                u1 = ext1[..., 1:6] > ext1[..., 0:5]
-                u2 = ext2[..., 1:6] > ext2[..., 0:5]
+                u1 = ugt(ext1[..., 1:6], ext1[..., 0:5])
+                u2 = ugt(ext2[..., 1:6], ext2[..., 0:5])
                 n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
                 flat_c = children.reshape(M, 13)
                 rq, n_rq, ovf_c = route(
@@ -1409,8 +1422,8 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 wdepth = jnp.broadcast_to(wflat[:, None, 12:13] + 1,
                                           (NW, 4, 1))
                 wchildren = jnp.concatenate([wext1, wext2, wdepth], -1)
-                wu1 = wext1[..., 1:6] > wext1[..., 0:5]
-                wu2 = wext2[..., 1:6] > wext2[..., 0:5]
+                wu1 = ugt(wext1[..., 1:6], wext1[..., 0:5])
+                wu2 = ugt(wext2[..., 1:6], wext2[..., 0:5])
                 wch = jnp.sum((wu1 | wu2).astype(jnp.int32), axis=-1)
                 wflat_c = wchildren.reshape(NW * 4, 13)
                 wdest = jnp.clip(
@@ -1463,7 +1476,7 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                                                                    valid)
                 fr, n_fr, ovf_f = route(
                     jnp.stack([fidx, fval], axis=-1), fval > 0,
-                    jnp.clip(fidx // local_n, 0, n_dev - 1), fseg,
+                    jnp.minimum(udiv(fidx, local_n), n_dev - 1), fseg,
                 )
                 ovf = ovf + ovf_f
                 flive = jnp.arange(fr.shape[0], dtype=jnp.int32) < n_fr
@@ -1473,8 +1486,8 @@ def _frontier_node_pair_phase(mesh, blocks1, blocks2, meta, state, *,
                 )
 
                 # children kept iff >= 2 union children; routed by side-1
-                u1 = ext1[..., 1:6] > ext1[..., 0:5]
-                u2 = ext2[..., 1:6] > ext2[..., 0:5]
+                u1 = ugt(ext1[..., 1:6], ext1[..., 0:5])
+                u2 = ugt(ext2[..., 1:6], ext2[..., 0:5])
                 n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
                 flat_c = children.reshape(M, 13)
                 rq, n_rq, ovf_c = route(
@@ -1531,6 +1544,9 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
     n_dev = mesh.devices.size
     n = sfm1.n + sfm2.n
     local_n = -(-(n + 2) // n_dev)
+    # the MERGED coordinate space must fit the uint32 bit patterns and
+    # per-shard int32 offsets even when each input does on its own
+    shard._check_mesh_cap(n, n_dev, -(-local_n // 128))
     if seg is None:
         seg = 2 * chunk
     if fseg is None:
@@ -1582,7 +1598,7 @@ def navigate_two_bwts_frontier_device(sfm1: shard.ShardedFM,
                                                           K, k_right)
 
     root = np.concatenate([
-        [0], F1h, [sfm1.n], [0], F2h, [sfm2.n], [0]
+        [0], F1h, [pat32(sfm1.n)], [0], F2h, [pat32(sfm2.n)], [0]
     ]).astype(np.int32)
     meta = jnp.asarray(np.concatenate([F1h, F2h, root]).astype(np.int32))
     qc = max(1 << 16, n // (16 * n_dev))
@@ -1637,7 +1653,7 @@ def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
     n_dev = mesh.devices.size
     blocks, _, F, rows = shard.shard_packed(pb, mesh)
     F6 = jnp.concatenate([jnp.asarray(F),
-                          jnp.asarray([pb.n], jnp.int32)])
+                          jnp.asarray([pat32(pb.n)], jnp.int32)])
     chunk = 4096
     wbudget, fbudget, seg = 512, 2048, 2 * chunk
     queue_cap = max(1 << 16, pb.n // (16 * n_dev))
@@ -1645,7 +1661,7 @@ def navigate_nodes_frontier(pb: PackedBwt, mesh, K: int, k_right: int):
     while True:
         caprows = queue_cap + n_dev * seg + 4 * n_dev * min(wbudget, chunk)
         seed = jnp.asarray(
-            [0, *(int(x) for x in F_host), pb.n, 0], jnp.int32)
+            [0, *(int(x) for x in F_host), pat32(pb.n), 0], jnp.int32)
         state = _frontier_state_init(mesh, seed, caprows=caprows, w=7,
                                      flag_len=rows * 16)
         state = _maybe_resume(state, mesh, tag="m1node", caprows=caprows)

@@ -37,11 +37,13 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 def _char_totals(pb: PackedBwt) -> np.ndarray:
     """Total A,C,G,T occurrence counts, from the F boundaries
-    (dna_bwt.hpp:47-61: F = [#TERM, #TERM+#A, ..+#C, ..+#G])."""
+    (dna_bwt.hpp:47-61: F = [#TERM, #TERM+#A, ..+#C, ..+#G]). Counts are
+    true int64 on the host; device arrays carry their uint32 bit patterns
+    (ops.coords) so totals past 2^31 encode."""
     F = pb.F.astype(np.int64)
-    return np.array(
-        [F[1] - F[0], F[2] - F[1], F[3] - F[2], pb.n - F[3]], np.int32
-    )
+    t = np.array([F[1] - F[0], F[2] - F[1], F[3] - F[2], pb.n - F[3]],
+                 np.int64)
+    return (t & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,10 +69,29 @@ class ShardedFM:
     local_bytes: int = 0
 
 
+def _check_mesh_cap(n: int, n_dev: int, rows: int) -> None:
+    """Coordinate-space guards for the sharded pipeline: one mesh run
+    carries to n < CAP ~ 2^32 total positions (uint32 bit patterns,
+    ops.coords — reference coordinates are uint64, include.hpp:25), and
+    per-shard LOCAL offsets must stay below 2^31 (local flag/delta
+    vectors are plain int32-indexed)."""
+    from ..ops import packing as pk
+
+    if n >= pk.CAP:
+        raise ValueError(pk.CAP_MESSAGE)
+    if rows * 128 >= 2**31:
+        raise ValueError(
+            f"per-shard span {rows * 128} positions >= 2^31: shard "
+            f"{n} positions over at least {-(-(n + 2) // (2**31 - 2))} "
+            f"devices (got {n_dev})"
+        )
+
+
 def shard_fm(pb: PackedBwt, mesh: Mesh) -> ShardedFM:
     n_dev = mesh.devices.size
     n_blocks = pb.blocks.shape[0]
     rows = -(-n_blocks // n_dev)
+    _check_mesh_cap(pb.n, n_dev, rows)
     totals = _char_totals(pb)
     padded = np.zeros((rows * n_dev, 16), dtype=np.uint32)
     padded[:n_blocks] = pb.blocks
@@ -92,7 +113,8 @@ def shard_fm(pb: PackedBwt, mesh: Mesh) -> ShardedFM:
         blocks=jax.device_put(padded, NamedSharding(mesh, P(AXIS, None))),
         block_counts=jax.device_put(counts,
                                     NamedSharding(mesh, P(AXIS, None))),
-        F=jax.device_put(pb.F.astype(np.int32), rep),
+        F=jax.device_put(
+            (pb.F & 0xFFFFFFFF).astype(np.uint32).view(np.int32), rep),
         bounds=jax.device_put(bounds, rep),
         rows=rows, n=pb.n, term=pb.term,
     )
@@ -140,6 +162,7 @@ def shard_fm_from_loader(loader, n: int, mesh: Mesh, term: int = ord("#"),
     ranges = pk.shard_row_ranges(n, n_dev)
     n_blocks = n // 128 + 1
     rows = -(-n_blocks // n_dev)
+    _check_mesh_cap(n, n_dev, rows)
 
     devs = list(mesh.devices.flat)
     my_proc = jax.process_index()
@@ -200,8 +223,8 @@ def shard_fm_from_loader(loader, n: int, mesh: Mesh, term: int = ord("#"),
             (tot4 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
     bounds = np.empty((n_dev + 1, 4), np.int32)
-    bounds[:-1] = bases
-    bounds[-1] = tot4
+    bounds[:-1] = (bases & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    bounds[-1] = (tot4 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
     sh = NamedSharding(mesh, P(AXIS, None))
     if jax.process_count() > 1:
@@ -214,7 +237,8 @@ def shard_fm_from_loader(loader, n: int, mesh: Mesh, term: int = ord("#"),
         block_counts = jax.device_put(local_counts, sh)
 
     rep = NamedSharding(mesh, P())
-    F = pk.f_from_totals(totals).astype(np.int32)
+    F = (pk.f_from_totals(totals)
+         & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     return ShardedFM(
         mesh=mesh,
         blocks=blocks,
@@ -438,13 +462,17 @@ def local_select(blocks_l, counts_l, bounds, rows_per_shard, r, c):
     absolute counters plus the in-block descent; others contribute 0 —
     combine with a psum. Padding counters hold totals, so the search can
     never resolve to a padding row for a valid r < total."""
+    from ..ops.coords import uclip, uge, ult, umax
+
     sid = jax.lax.axis_index(AXIS)
     base = sid * rows_per_shard
     cc = jnp.clip(c, 0, 3)
     lo_b = bounds[sid][cc]
     hi_b = bounds[sid + 1][cc]
-    mine = (r >= lo_b) & (r < hi_b)
-    r_safe = jnp.clip(r, lo_b, jnp.maximum(hi_b - 1, lo_b))
+    # ranks/boundaries are uint32 bit patterns (ops.coords): compare and
+    # clamp the unsigned view so counts past 2^31 route correctly
+    mine = uge(r, lo_b) & ult(r, hi_b)
+    r_safe = uclip(r, lo_b, umax(hi_b - 1, lo_b))
     lb = rank.select_block(counts_l, r_safe, cc)
     pos = (base + lb) * rank.BLOCK + rank.select_in_block(
         blocks_l[lb], r_safe, cc

@@ -27,6 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models import traverse as t1
 from ..ops import rank
+from ..ops.coords import pat32, uge, ugt, ult
 from ..ops.packing import PackedBwt
 from . import shard
 
@@ -81,33 +82,36 @@ def _sharded_node_phase(mesh, blocks, F, init, nf, *, rows_per_shard,
 
             depth = block[:, 6]
             last = block[:, 5]
-            dummy = jnp.int32(2**30)
+            # positions are uint32 bit patterns (ops.coords): ordered
+            # compares use the unsigned view; dead entries carry v == 0
+            # (a zero add is a no-op, so no position sentinel is needed)
             idxs, vals = [], []
             lcp_values = jnp.int32(0)
             n_min = jnp.int32(0)
             for j in range(1, 5):
                 border = block[:, j]
-                has_prev = border > block[:, j - 1]
+                has_prev = ugt(border, block[:, j - 1])
                 condb = valid & has_prev & (border != last)
                 lcp_values = lcp_values + condb.sum(dtype=jnp.int32)
                 v = ((condb & (depth >= K)) * 1
                      + (condb & (depth >= k_right)) * 2)
                 if j >= 2:
                     prev_size = border - block[:, j - 1]
-                    cond_m = valid & (prev_size >= 2) & (border < last - 1)
+                    cond_m = valid & uge(prev_size, 2) & \
+                        ult(border, last - 1)
                     n_min = n_min + cond_m.sum(dtype=jnp.int32)
                     v = v + cond_m * 4
-                idxs.append(jnp.where(v > 0, border, dummy))
+                idxs.append(border)
                 vals.append(v)
             # local scatter of globally-indexed writes
             gi = jnp.concatenate(idxs) - pos_base
             gv = jnp.concatenate(vals)
-            safe = jnp.where((gi >= 0) & (gi < local_n), gi, local_n)
+            safe = jnp.where(ult(gi, local_n), gi, local_n)
             nf_l = nf_l.at[safe].add(gv, mode="drop")
 
             ext = extend(block)
             nch = jnp.sum(
-                (ext[..., 1:6] > ext[..., 0:5]).astype(jnp.int32), axis=-1
+                ugt(ext[..., 1:6], ext[..., 0:5]).astype(jnp.int32), axis=-1
             )
             keep = (valid[:, None] & (nch >= 2)).reshape(-1)
             out, n_out = t1._compact(ext.reshape(-1, w), keep, budget=chunk)
@@ -137,7 +141,8 @@ def navigate_nodes_sharded(pb: PackedBwt, mesh, K: int, k_right: int):
     nf = jax.device_put(np.zeros(pad_n, np.int32),
                         NamedSharding(mesh, P(AXIS)))
     Fh = pb.F.astype(np.int32)
-    init = np.array([[0, Fh[0], Fh[1], Fh[2], Fh[3], pb.n, 0]], np.int32)
+    init = np.array([[0, Fh[0], Fh[1], Fh[2], Fh[3],
+                  pat32(pb.n), 0]], np.int32)
     nf, stats, total = _sharded_node_phase(
         mesh, blocks, jnp.asarray(F), jnp.asarray(init), nf,
         rows_per_shard=rows, local_n=local_n,
@@ -187,22 +192,19 @@ def _sharded_leaf_phase(mesh, blocks, F, init, dif, *, rows_per_shard,
             valid = jnp.arange(chunk, dtype=jnp.int32) < count
             first, second, depth = block[:, 0], block[:, 1], block[:, 2]
 
-            dummy = jnp.int32(2**30)
-            condK = valid & (depth >= K)
-            condR = valid & (depth >= k_right)
-            one = jnp.ones(chunk, jnp.int32)
+            condK = (valid & (depth >= K)).astype(jnp.int32)
+            condR = (valid & (depth >= k_right)).astype(jnp.int32)
             fields = jnp.concatenate([
                 jnp.zeros(2 * chunk, jnp.int32),
                 jnp.ones(2 * chunk, jnp.int32),
             ])
+            # dead entries carry value 0 (a zero add is a no-op); local
+            # membership is the unsigned wrapped-offset check
             gi = jnp.concatenate([
-                jnp.where(condK, first + 1, dummy),
-                jnp.where(condK, second, dummy),
-                jnp.where(condR, first + 1, dummy),
-                jnp.where(condR, second, dummy),
+                first + 1, second, first + 1, second,
             ]) - pos_base
-            gv = jnp.concatenate([one, -one, one, -one])
-            mine = (gi >= 0) & (gi < local_n)
+            gv = jnp.concatenate([condK, -condK, condR, -condR])
+            mine = ult(gi, local_n)
             safe_pos = jnp.where(mine, gi, local_n)
             flat_idx = fields * (local_n + 1) + safe_pos
             dif_flat = jnp.concatenate(
@@ -221,7 +223,7 @@ def _sharded_leaf_phase(mesh, blocks, F, init, dif, *, rows_per_shard,
             hi4 = F_rep + ranks[:, 1]
             child_depth = jnp.broadcast_to((depth + 1)[:, None], lo4.shape)
             children = jnp.stack([lo4, hi4, child_depth], axis=-1)
-            keep = valid[:, None] & ((hi4 - lo4) >= 2)
+            keep = valid[:, None] & uge(hi4 - lo4, 2)
             out, n_out = t1._compact_cm(children.reshape(chunk * 4, w),
                                         keep, budget=chunk)
             q = jax.lax.dynamic_update_slice(q, out, (tail, jnp.int32(0)))
@@ -297,7 +299,8 @@ def navigate_one_bwt_sharded_device(sfm: shard.ShardedFM, K: int,
 
     nf = jax.device_put(np.zeros(pad_n, np.int32),
                         NamedSharding(mesh, P(AXIS)))
-    init_n = np.array([[0, Fh[0], Fh[1], Fh[2], Fh[3], sfm.n, 0]], np.int32)
+    init_n = np.array([[0, Fh[0], Fh[1], Fh[2], Fh[3],
+                        pat32(sfm.n), 0]], np.int32)
     nf, st_n, _ = _sharded_node_phase(
         mesh, sfm.blocks, sfm.F, jnp.asarray(init_n), nf,
         rows_per_shard=sfm.rows, local_n=local_n,
@@ -367,25 +370,20 @@ def _sharded_leaf_pair_phase(mesh, blocks1, blocks2, F1, F2, init, dif, *,
             start2 = f2 + s1
             end = s1 + s2
 
-            dummy = jnp.int32(2**30)
-            condK = valid & (depth >= K)
-            condR = valid & (depth >= k_right)
-            one = jnp.ones(chunk, jnp.int32)
+            condK = (valid & (depth >= K)).astype(jnp.int32)
+            condR = (valid & (depth >= k_right)).astype(jnp.int32)
+            vv = valid.astype(jnp.int32)
             fields = jnp.concatenate([
                 jnp.zeros(2 * chunk, jnp.int32),
                 jnp.ones(2 * chunk, jnp.int32),
                 jnp.full(2 * chunk, 2, jnp.int32),
             ])
+            # dead entries carry value 0; unsigned local membership
             gi = jnp.concatenate([
-                jnp.where(condK, start1 + 1, dummy),
-                jnp.where(condK, end, dummy),
-                jnp.where(condR, start1 + 1, dummy),
-                jnp.where(condR, end, dummy),
-                jnp.where(valid, start2, dummy),
-                jnp.where(valid, end, dummy),
+                start1 + 1, end, start1 + 1, end, start2, end,
             ]) - pos_base
-            gv = jnp.concatenate([one, -one, one, -one, one, -one])
-            mine = (gi >= 0) & (gi < local_n)
+            gv = jnp.concatenate([condK, -condK, condR, -condR, vv, -vv])
+            mine = ult(gi, local_n)
             safe_pos = jnp.where(mine, gi, local_n)
             flat_idx = fields * (local_n + 1) + safe_pos
             z1 = jnp.zeros(1, jnp.int32)
@@ -412,7 +410,7 @@ def _sharded_leaf_pair_phase(mesh, blocks1, blocks2, F1, F2, init, dif, *,
             child_depth = jnp.broadcast_to((depth + 1)[:, None], lo1.shape)
             children = jnp.stack([lo1, hi1, lo2, hi2, child_depth], axis=-1)
             combined = (hi1 - lo1) + (hi2 - lo2)
-            keep = (valid[:, None] & (combined >= 2)).reshape(chunk * 4)
+            keep = (valid[:, None] & uge(combined, 2)).reshape(chunk * 4)
             out, n_out = t1._compact(children.reshape(chunk * 4, w), keep,
                                      budget=chunk)
             q = jax.lax.dynamic_update_slice(q, out, (tail, jnp.int32(0)))
@@ -490,7 +488,7 @@ def _sharded_node_pair_phase(mesh, blocks1, blocks2, F1, F2, init, nf, *,
             depth = block[:, 12]
             merged = c1 + c2
             last = merged[:, 5]
-            dummy = jnp.int32(2**30)
+            # uint32 bit-pattern coordinates; dead entries carry value 0
 
             idxs, vals = [], []
             da_values = jnp.int32(0)
@@ -501,33 +499,34 @@ def _sharded_node_pair_phase(mesh, blocks1, blocks2, F1, F2, init, nf, *,
                 pos = c1[:, j] + c2[:, j]
                 da_values = da_values + jnp.sum(condl.astype(jnp.int32))
                 cond_da = condl & (l2 == 1)
-                idxs.append(jnp.where(cond_da, pos, dummy))
+                idxs.append(pos)
                 vals.append(cond_da * 8)
 
             lcp_values = jnp.int32(0)
             n_min = jnp.int32(0)
             for j in range(1, 5):
                 border = merged[:, j]
-                has_prev = border > merged[:, j - 1]
+                has_prev = ugt(border, merged[:, j - 1])
                 condb = valid & has_prev & (border != last)
                 lcp_values = lcp_values + condb.sum(dtype=jnp.int32)
                 v = ((condb & (depth >= K)) * 1
                      + (condb & (depth >= k_right)) * 2)
                 if j >= 2:
                     prev_size = border - merged[:, j - 1]
-                    cond_m = valid & (prev_size >= 2) & (border < last - 1)
+                    cond_m = valid & uge(prev_size, 2) & \
+                        ult(border, last - 1)
                     n_min = n_min + cond_m.sum(dtype=jnp.int32)
                     v = v + cond_m * 4
-                idxs.append(jnp.where(v > 0, border, dummy))
+                idxs.append(border)
                 vals.append(v)
             gi = jnp.concatenate(idxs) - pos_base
             gv = jnp.concatenate(vals)
-            safe = jnp.where((gi >= 0) & (gi < local_n), gi, local_n)
+            safe = jnp.where(ult(gi, local_n), gi, local_n)
             nf_l = nf_l.at[safe].add(gv, mode="drop")
 
             ext1, ext2 = extend(block)
-            u1 = ext1[..., 1:6] > ext1[..., 0:5]
-            u2 = ext2[..., 1:6] > ext2[..., 0:5]
+            u1 = ugt(ext1[..., 1:6], ext1[..., 0:5])
+            u2 = ugt(ext2[..., 1:6], ext2[..., 0:5])
             n_union = jnp.sum((u1 | u2).astype(jnp.int32), axis=-1)
             child_depth = jnp.broadcast_to((depth + 1)[:, None, None],
                                            ext1[..., :1].shape)
@@ -602,8 +601,8 @@ def navigate_two_bwts_sharded_device(sfm1: shard.ShardedFM,
 
     nf = jax.device_put(np.zeros(pad_n, np.int32),
                         NamedSharding(mesh, P(AXIS)))
-    init_n = np.array([[0, F1h[0], F1h[1], F1h[2], F1h[3], sfm1.n,
-                        0, F2h[0], F2h[1], F2h[2], F2h[3], sfm2.n,
+    init_n = np.array([[0, F1h[0], F1h[1], F1h[2], F1h[3], pat32(sfm1.n),
+                        0, F2h[0], F2h[1], F2h[2], F2h[3], pat32(sfm2.n),
                         0]], np.int32)
     nf, st_n, _ = _sharded_node_pair_phase(
         mesh, sfm1.blocks, sfm2.blocks, sfm1.F, sfm2.F,
