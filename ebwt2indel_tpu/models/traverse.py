@@ -731,7 +731,8 @@ def _node_wave(fm: FMIndex, nodes, count, node_flags, *, K, k_right):
 
     out, n_out, (nf,), st = _node_body(
         fm, nodes, count, (node_flags,),
-        (jnp.int32(0),) * 4, K=K, k_right=k_right, append=append
+        (jnp.int32(0),) * 4, K=K, k_right=k_right, append=append,
+        log_mode=False,
     )
     return out, n_out, nf, st[1], st[2]
 

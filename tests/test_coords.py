@@ -191,3 +191,24 @@ def test_traversal_parity_1d_vs_2d_dif(body, tmp_path, monkeypatch):
         bits = np.unpackbits(
             np.asarray(a).view(np.uint8), bitorder="little")[:n]
         np.testing.assert_array_equal(np.asarray(b), bits, err_msg=attr)
+
+
+def test_udiv_umax_uclip_match_numpy():
+    """Round-5 helpers backing the sharded mesh path: unsigned owner
+    routing (udiv), select clamp (umax/uclip)."""
+    a = _patterns()
+    au = a.view(np.uint32)
+    aj = jnp.asarray(a)
+    for d in (1, 7, 97, 2**20 + 3):
+        np.testing.assert_array_equal(
+            np.asarray(coords.udiv(aj, d)).view(np.uint32), au // d)
+    b = _patterns()[::-1].copy()
+    np.testing.assert_array_equal(
+        np.asarray(coords.umax(aj, jnp.asarray(b))).view(np.uint32),
+        np.maximum(au, b.view(np.uint32)))
+    lo = _patterns()
+    hi_u = np.maximum(lo.view(np.uint32), _patterns().view(np.uint32))
+    got = coords.uclip(aj, jnp.asarray(lo), jnp.asarray(hi_u.view(np.int32)))
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint32),
+        np.clip(au, lo.view(np.uint32), hi_u))
