@@ -265,6 +265,7 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
 
+    tmark4 = _timing_marker()
     nn = fm1.n + fm2.n
     if res.packed:
         next_thr = call.right_anchor_table_packed(res.thr_R, n=nn)
@@ -287,7 +288,9 @@ def run_two_datasets(cfg: Config, log=_log) -> dict:
         da_bv = bits.bv_build(res.da)
         res.da = None
 
+    tmark4("cluster detect (device)")
     stats = _call_and_emit_pair_mode2(fm1, fm2, cl, next_thr, da_bv, cfg)
+    tmark4("call+emit")
     stats.update(st)
     stats["n_clusters"] = cl.n_clusters
 

@@ -21,6 +21,7 @@ import numpy as np
 from ..models import emit, emit_vec
 from ..models import pipeline as mpipe
 from ..ops import bits, packing
+from ..ops.coords import unpat
 from ..utils import compile_cache
 from ..utils.config import Config
 from . import calling, shard
@@ -66,11 +67,12 @@ def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
     t2 = time.perf_counter()
     st_l = np.asarray(st_l)
     st_n = np.asarray(st_n)
-    lcp_values = 1 + int(st_l[1]) + int(st_n[1])
+    # device counters wrap mod 2^32; every true count is <= n < 2^32
+    lcp_values = 1 + unpat(st_l[1]) + unpat(st_n[1])
     log(f"Computed {lcp_values}/{sfm.n} LCP values.")
-    log(f"Found {int(st_n[2])} LCP minima.")
-    log(f"Processed {int(st_l[0])} suffix-tree leaves and {int(st_n[0])} "
-        f"nodes. [{t2 - t1:.2f}s]\n")
+    log(f"Found {unpat(st_n[2])} LCP minima.")
+    log(f"Processed {unpat(st_l[0])} suffix-tree leaves and "
+        f"{unpat(st_n[0])} nodes. [{t2 - t1:.2f}s]\n")
 
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
@@ -87,9 +89,9 @@ def run_one_dataset_sharded(cfg: Config, mesh, log=_log) -> dict:
     stats = _call_and_emit_single_sharded(sfm, cl, next_thr, local_n, cfg)
     log(f"[timing] call+emit {time.perf_counter() - t4:.2f}s")
     stats["lcp_values"] = lcp_values
-    stats["n_min"] = int(st_n[2])
-    stats["leaves"] = int(st_l[0])
-    stats["nodes"] = int(st_n[0])
+    stats["n_min"] = unpat(st_n[2])
+    stats["leaves"] = unpat(st_l[0])
+    stats["nodes"] = unpat(st_n[0])
     stats["n_clusters"] = cl.n_clusters
 
     avg = cl.clust_size_sum / cl.n_clusters if cl.n_clusters else float("nan")
@@ -211,11 +213,12 @@ def run_two_datasets_sharded(cfg: Config, mesh, log=_log) -> dict:
     st_l = np.asarray(st_l)
     st_n = np.asarray(st_n)
     n = sfm1.n + sfm2.n
-    log(f"Computed {int(st_l[3]) + int(st_n[3])}/{n} DA values.")
-    log(f"Computed {1 + int(st_l[1]) + int(st_n[1])}/{n} LCP values.")
-    log(f"Found {int(st_n[2])} LCP minima.")
-    log(f"Processed {int(st_l[0])} suffix-tree leaves and {int(st_n[0])} "
-        f"nodes.\n")
+    # device counters wrap mod 2^32; every true count is <= n < 2^32
+    log(f"Computed {unpat(st_l[3]) + unpat(st_n[3])}/{n} DA values.")
+    log(f"Computed {1 + unpat(st_l[1]) + unpat(st_n[1])}/{n} LCP values.")
+    log(f"Found {unpat(st_n[2])} LCP minima.")
+    log(f"Processed {unpat(st_l[0])} suffix-tree leaves and "
+        f"{unpat(st_n[0])} nodes.\n")
 
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
@@ -230,11 +233,11 @@ def run_two_datasets_sharded(cfg: Config, mesh, log=_log) -> dict:
     stats = _call_and_emit_pair_mode2_sharded(
         sfm1, sfm2, cl, next_thr, (da_cs, da_tot, da), local_n, cfg
     )
-    stats["lcp_values"] = 1 + int(st_l[1]) + int(st_n[1])
-    stats["da_values"] = int(st_l[3]) + int(st_n[3])
-    stats["n_min"] = int(st_n[2])
-    stats["leaves"] = int(st_l[0])
-    stats["nodes"] = int(st_n[0])
+    stats["lcp_values"] = 1 + unpat(st_l[1]) + unpat(st_n[1])
+    stats["da_values"] = unpat(st_l[3]) + unpat(st_n[3])
+    stats["n_min"] = unpat(st_n[2])
+    stats["leaves"] = unpat(st_l[0])
+    stats["nodes"] = unpat(st_n[0])
     stats["n_clusters"] = cl.n_clusters
 
     avg = cl.clust_size_sum / cl.n_clusters if cl.n_clusters else float("nan")
@@ -373,8 +376,9 @@ def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
         _nav_one(sfm, cfg.K, cfg.k_right)
     st_l = np.asarray(st_l)
     st_n = np.asarray(st_n)
-    log(f"Computed {1 + int(st_l[1]) + int(st_n[1])}/{sfm.n} LCP values.")
-    log(f"Found {int(st_n[2])} LCP minima.\n")
+    log(f"Computed {1 + unpat(st_l[1]) + unpat(st_n[1])}/{sfm.n} "
+        "LCP values.")
+    log(f"Found {unpat(st_n[2])} LCP minima.\n")
 
     log("Phase 4/4: detecting SNPs and indels.")
     log(f"Output events will be stored in {cfg.output}")
@@ -413,10 +417,10 @@ def run_two_datasets_da_sharded(cfg: Config, mesh, log=_log) -> dict:
     stats = _call_and_emit_pair_mode3_sharded(
         sfm, sfm_da1, cl, next_thr, (da_cs, da_tot), local_n, cfg
     )
-    stats["lcp_values"] = 1 + int(st_l[1]) + int(st_n[1])
-    stats["n_min"] = int(st_n[2])
-    stats["leaves"] = int(st_l[0])
-    stats["nodes"] = int(st_n[0])
+    stats["lcp_values"] = 1 + unpat(st_l[1]) + unpat(st_n[1])
+    stats["n_min"] = unpat(st_n[2])
+    stats["leaves"] = unpat(st_l[0])
+    stats["nodes"] = unpat(st_n[0])
     stats["n_clusters"] = cl.n_clusters
 
     avg = cl.clust_size_sum / cl.n_clusters if cl.n_clusters else float("nan")

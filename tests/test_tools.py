@@ -272,3 +272,62 @@ def test_pebwt2indel_driver(tmp_path, rng):
     assert r.returncode == 0, r.stdout + r.stderr
     out = tmp_path / "out" / "variants.snp"
     assert out.exists()
+
+
+def test_genhuge_matrix_builder_matches_ebwt(rng):
+    """tools/genhuge.py's vectorized eBWT builder is byte-identical to
+    tools/ebwt.ebwt_of_reads on the same read set (pins the multi-G
+    dataset generator to the reference-shaped builder at small n)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "genhuge", os.path.join(os.path.dirname(__file__), "..", "tools",
+                                "genhuge.py"))
+    gh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gh)
+    from ebwt2indel_tpu.tools import ebwt as ebwt_mod
+
+    g = rng.integers(0, 4, size=20000)
+    genome_u8 = np.frombuffer(b"ACGT", np.uint8)[g].copy()
+    gh.CHUNK_READS = 64  # force the chunked paths
+    reads = gh.vector_reads(np.random.default_rng(5), genome_u8, 3.0, 50)
+    text = np.empty((len(reads), 51), np.uint8)
+    text[:, :50] = reads
+    text[:, 50] = ord("#")
+    got = gh.ebwt_of_read_matrix(text).tobytes().decode()
+    want = ebwt_mod.ebwt_of_reads(
+        ["".join(map(chr, r)) for r in reads])
+    assert got == want
+
+
+def test_run_huge_report_schema(tmp_path, rng):
+    """tools/run_huge.py emits a schema-complete report with parity and
+    vs_baseline filled from the reference binary (small-n dry run of the
+    REPORT_2G5 capture path)."""
+    import json as _json
+    import subprocess as _sp
+    import sys as _sys
+
+    from ebwt2indel_tpu.tools import ebwt as ebwt_mod
+    from ebwt2indel_tpu.tools import simulate as sim
+
+    g = sim.random_genome(np.random.default_rng(11), 4000)
+    reads = sim.sample_reads(np.random.default_rng(12), g, 5, 60)
+    inp = tmp_path / "r.ebwt"
+    inp.write_text(ebwt_mod.ebwt_of_reads(reads))
+    rep = tmp_path / "rep.json"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r = _sp.run(
+        [_sys.executable, os.path.join(repo, "tools", "run_huge.py"),
+         str(inp), str(tmp_path / "out.snp"), str(rep)],
+        capture_output=True, text=True, env={**os.environ},
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    d = _json.loads(rep.read_text())
+    assert d["parity"] is True
+    assert d["vs_baseline"] is not None and d["vs_baseline"] > 0
+    assert d["warm_seconds"] and d["cold_seconds"] and d["ref_seconds"]
+    assert d["positions"] == os.path.getsize(inp)
+    assert abs(d["value"] - d["positions"] / d["warm_seconds"]) \
+        <= 0.01 * d["value"]

@@ -6,6 +6,12 @@ coverage each, substitution errors), but fully vectorized: bench.py's
 simulate.sample_reads loops per read in Python, which is fine at 1.1M reads
 (116M positions) and not at 25M reads (2.6G positions).
 
+Peak memory is bounded by generating the read gathers and error plants in
+~1M-read chunks; the chunking preserves the RNG draw order (one stream of
+uniforms, then one stream of substitution offsets), so outputs are
+byte-identical to the original whole-matrix formulation — pinned by
+tests/test_tools.py against tools/ebwt.py's reference-shaped builder.
+
 Usage: python tools/genhuge.py GENOME_LEN OUT.ebwt [COVERAGE] [READ_LEN]
 Positions written = GENOME_LEN*COVERAGE*(READ_LEN+1)/READ_LEN (approx).
 """
@@ -22,16 +28,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+CHUNK_READS = 1 << 20  # ~100 MB of uniforms per chunk at read_len 100
 
 
 def vector_reads(rng, genome_u8: np.ndarray, coverage: float, read_len: int,
                  error_rate: float = 0.001) -> np.ndarray:
-    """(n_reads, read_len) ASCII read matrix, vectorized error planting."""
+    """(n_reads, read_len) ASCII read matrix, vectorized error planting.
+
+    Chunked to bound peak memory (the error-uniform matrix alone is ~10 GB
+    float64 at 2.6G-position scale); the RNG stream order matches the
+    whole-matrix formulation exactly (uniforms are drawn row-major either
+    way; the substitution offsets are drawn in one batch afterwards)."""
     n = len(genome_u8)
     n_reads = int(n * coverage / read_len)
     starts = rng.integers(0, n - read_len + 1, size=n_reads)
-    reads = genome_u8[starts[:, None] + np.arange(read_len)]
-    err = np.argwhere(rng.random((n_reads, read_len)) < error_rate)
+    reads = np.empty((n_reads, read_len), dtype=np.uint8)
+    offs = np.arange(read_len)
+    err_chunks = []
+    for lo in range(0, n_reads, CHUNK_READS):
+        hi = min(lo + CHUNK_READS, n_reads)
+        reads[lo:hi] = genome_u8[starts[lo:hi, None] + offs]
+        e = np.argwhere(rng.random((hi - lo, read_len)) < error_rate)
+        e[:, 0] += lo
+        err_chunks.append(e)
+    err = np.concatenate(err_chunks) if err_chunks else \
+        np.zeros((0, 2), np.int64)
     if len(err):
         code = np.zeros(256, dtype=np.uint8)
         code[BASES] = np.arange(4)
@@ -41,6 +62,37 @@ def vector_reads(rng, genome_u8: np.ndarray, coverage: float, read_len: int,
     return reads
 
 
+def ebwt_of_read_matrix(text: np.ndarray) -> np.ndarray:
+    """eBWT bytes of a (n_reads, read_len+1) ASCII matrix whose last
+    column is the '#' terminator — the vectorized twin of
+    tools/ebwt.ebwt_of_reads (same suffix order: terminators distinct by
+    read index, below all bases; byte-parity pinned in
+    tests/test_tools.py)."""
+    from ebwt2indel_tpu.tools.ebwt import suffix_array_sentinel
+
+    n_reads, row = text.shape
+    read_len = row - 1
+    raw = text.reshape(-1)
+    n = len(raw)
+
+    codes = np.empty(n + 1, dtype=np.int32)
+    lut = np.zeros(256, dtype=np.int32)
+    for i, b in enumerate(BASES):
+        lut[b] = n_reads + 1 + i
+    codes[:n] = lut[raw]
+    term_pos = np.arange(n_reads, dtype=np.int64) * (read_len + 1) + read_len
+    codes[term_pos] = np.arange(1, n_reads + 1, dtype=np.int32)
+    codes[n] = 0
+
+    sa = suffix_array_sentinel(codes)
+    del codes
+    assert sa[0] == n
+    sa = sa[1:]
+    np.subtract(sa, 1, out=sa)
+    sa[sa < 0] = n - 1
+    return raw[sa]
+
+
 def main() -> None:
     genome_len = int(sys.argv[1])
     out = sys.argv[2]
@@ -48,7 +100,6 @@ def main() -> None:
     read_len = int(sys.argv[4]) if len(sys.argv) > 4 else 100
 
     from ebwt2indel_tpu.tools import simulate
-    from ebwt2indel_tpu.tools.ebwt import suffix_array_sentinel
 
     t0 = time.time()
     rng = np.random.default_rng(0xB16B16)
@@ -72,32 +123,12 @@ def main() -> None:
     text[len(r1):, :read_len] = r2
     del r1, r2
     text[:, read_len] = ord("#")
-    raw = text.reshape(-1)
-    n = len(raw)
-    print(f"[genhuge] text {n} positions {time.time()-t0:.0f}s", flush=True)
+    print(f"[genhuge] text {text.size} positions {time.time()-t0:.0f}s; "
+          "SA-IS...", flush=True)
 
-    # integer codes matching ebwt._ebwt_sa: terminators distinct (by position,
-    # below all bases), bases n_term+1..n_term+4, final sentinel 0
-    codes = np.empty(n + 1, dtype=np.int32)
-    lut = np.zeros(256, dtype=np.int32)
-    for i, b in enumerate(BASES):
-        lut[b] = n_reads + 1 + i
-    codes[:n] = lut[raw]
-    term_pos = np.arange(n_reads, dtype=np.int64) * (read_len + 1) + read_len
-    codes[term_pos] = np.arange(1, n_reads + 1, dtype=np.int32)
-    codes[n] = 0
-    print(f"[genhuge] codes ready {time.time()-t0:.0f}s; SA-IS...", flush=True)
-
-    sa = suffix_array_sentinel(codes)
-    del codes
-    assert sa[0] == n
-    sa = sa[1:]
+    bwt = ebwt_of_read_matrix(text)
+    del text
     print(f"[genhuge] SA done {time.time()-t0:.0f}s", flush=True)
-
-    np.subtract(sa, 1, out=sa)
-    sa[sa < 0] = n - 1
-    bwt = raw[sa]
-    del sa, raw, text
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     bwt.tofile(out)
     print(f"[genhuge] wrote {out}: {len(bwt)} positions "
