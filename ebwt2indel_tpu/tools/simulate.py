@@ -42,6 +42,11 @@ def plant_variants(
     g = np.frombuffer(genome.encode(), dtype=np.uint8).copy()
     n = len(g)
     n_events = int(n * (snp_rate + indel_rate))
+    # rng.choice over the full position range costs ~8 bytes/position
+    # (~800 MB at the 100 Mbp genhuge scale) — tolerable on the bench
+    # hosts and NOT replaced by gap sampling because every committed
+    # truth set (VALIDATION_r03/r05) regenerates from this exact draw
+    # sequence; changing it orphans the recorded datasets
     positions = np.sort(
         rng.choice(np.arange(60, n - 60), size=min(n_events, (n - 120) // 60),
                    replace=False)
